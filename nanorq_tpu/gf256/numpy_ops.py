@@ -47,6 +47,12 @@ def gf_matvec(A: np.ndarray, x: np.ndarray) -> np.ndarray:
     return gf_matmul(A, x[:, None])[:, 0]
 
 
+def gf_inv_matrix(A: np.ndarray) -> np.ndarray | None:
+    """Inverse of a square GF(256) matrix, or None if singular."""
+    n = A.shape[0]
+    return gf_solve_dense(A, np.eye(n, dtype=np.uint8))
+
+
 def gf_solve_dense(A: np.ndarray, D: np.ndarray) -> np.ndarray | None:
     """Solve A X = D over GF(256) by plain Gaussian elimination.
 

@@ -33,6 +33,9 @@ class Schedule:
     op_alpha: np.ndarray  # uint8 [n_ops] scale applied to D[i] (1 = keep)
     op_beta: np.ndarray  # uint8 [n_ops] scale applied to D[j] (0 = pure scal)
     gather: np.ndarray  # int32 [L]: C[v] = D_final[gather[v]]
+    # segment lengths (s1a, s1b, dense, backsolve) of the underlying recorded
+    # program; the linearized stream is s1a|s1b|dense|rev(s1a)|back|s1a
+    seg_lens: tuple[int, int, int, int] = (0, 0, 0, 0)
 
     @property
     def n_ops(self) -> int:

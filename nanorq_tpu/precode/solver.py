@@ -2,8 +2,15 @@
 
 This is the TPU-first re-design of the reference's precode_matrix_invert
 (lib/precode.c:99-377).  It runs once per (K', received-ISI set), touches no
-payload bytes, and emits a linearized op program (Schedule) that the device
-replayer applies to the payload matrix D.  Structure:
+payload bytes, and produces:
+
+- a linearized elementary-op program (Schedule) used as the correctness
+  oracle and host fallback, and
+- via precode.device_schedule, the *structured* artifacts for the TPU
+  replayer (block-triangular solve + dense GF matmuls), which is how the
+  payload work actually runs on device.
+
+Structure of the solve:
 
   1. peel:      greedy selection of degree-1/2 rows over the active window,
                 inactivating the second column of weight-2 rows
@@ -16,10 +23,9 @@ replayer applies to the payload matrix D.  Structure:
   5. backsolve: record-only ops zeroing the inactive block above the diagonal
                 (sparse original entries for triangle rows)
 
-The final program is linearized at solve time into the reference's 4-segment
-replay order  S1a|S1b|dense , reversed(S1a), backsolve, S1a  — the undo/redo
-trick keeps triangle backsolve ops sparse (see lib/precode.c:23-32) — so the
-device replayer is one branchless scan.
+The linear program uses the reference's 4-segment replay order
+S1a|S1b|dense, reversed(S1a), backsolve, S1a — the undo/redo trick keeps
+triangle backsolve ops sparse (see lib/precode.c:23-32).
 
 Row-id convention (shared with the codec's D layout, which *differs* from the
 reference's): rows [0, Kp+overhead) are LT rows in ISI order (source symbol
@@ -30,6 +36,8 @@ in small index arrays and the output permutation is a single gather.  Any
 full-rank system yields the *same* intermediate symbols C regardless of pivot
 choices, so wire output stays bit-exact with RFC 6330 / the reference.
 """
+
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -78,12 +86,36 @@ def _apply_grouped_xor(U: np.ndarray, tgts: np.ndarray, vals: np.ndarray) -> Non
     U[uniq] ^= red
 
 
-def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule | None:
-    """Invert the precode system, returning the replay Schedule or None.
+@dataclass
+class SolveState:
+    """Everything downstream consumers (op stream / device compile) need."""
 
-    `rows_cols` are the binary rows (LT then LDPC) as produced by
-    precode.matrix.binary_rows — Kp+overhead+S column-index arrays.
-    """
+    P: Params
+    overhead: int
+    NB: int  # number of binary rows (LT + LDPC)
+    M: int  # total rows = NB + H
+    rows_cols: list[np.ndarray]  # binary-row column sets (original A entries)
+    piv_rows: np.ndarray  # int32 [i]  D-row of triangle pivot position k
+    piv_cols: np.ndarray  # int32 [i]  pivot column of position k
+    u_cols: np.ndarray  # int64 [u]  inactive columns in dense order
+    order: np.ndarray  # int64 [M]  row at each position after dense pivoting
+    pos_of_row: np.ndarray  # int64 [NB] triangle position or _BIG
+    pivpos_of_col: np.ndarray  # int64 [L] pivot position of a column or -1
+    ucol_of: np.ndarray  # int64 [L] dense column index of a column or -1
+    hdpc_used: bool  # False when the pure-GF(2) path completed
+    U_schur: np.ndarray | None  # [M, u] Schur-complement state pre dense-elim
+    ops: tuple  # (s1a, s1b, rest, back) _Ops recorders
+
+    @property
+    def i(self) -> int:
+        return int(self.piv_rows.shape[0])
+
+    @property
+    def u(self) -> int:
+        return int(self.P.L - self.i)
+
+
+def _solve_core(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> SolveState | None:
     L, W, H, S = P.L, P.W, P.H, P.S
     NB = P.Kp + overhead + S
     M = NB + H
@@ -193,6 +225,10 @@ def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule
         _apply_grouped_xor(U, pr, U[piv_rows[pkk]])
         s1b.emit(pr, piv_rows[pkk])
 
+    # Schur-complement snapshot for the device compiler: binary rows after
+    # S1b (pre dense elimination); HDPC rows patched in below if admitted.
+    U_schur = U.copy()
+
     # ---- dense solve over the u block ----
     order = np.concatenate(
         [
@@ -204,6 +240,7 @@ def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule
     assert order.shape[0] == M
 
     rank = i
+    hdpc_used = False
     if M - H >= L:  # enough binary rows: try pure-GF(2) solve first
         for p in range(i, L):
             jc = p - i
@@ -224,6 +261,7 @@ def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule
     if rank < L:
         # admit HDPC rows: fill their inactive block and eliminate their
         # dependence on triangle pivots (reference fill_HDPC)
+        hdpc_used = True
         Ahd = hdpc_full_rows(P)
         hrows = NB + np.arange(H)
         U[hrows] = Ahd[:, u_cols]
@@ -237,6 +275,7 @@ def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule
                 vals = GF_MUL[betas_all[hh[sl], kk[sl]][:, None], U[piv_rows[kk[sl]]]]
                 _apply_grouped_xor(U, hrows[hh[sl]], vals)
             rest.emit(hrows[hh], piv_rows[kk], beta=betas_all[hh, kk])
+        U_schur[hrows] = U[hrows]
 
         # GF(256) elimination over all rows, restarting from position i
         for p in range(i, L):
@@ -276,7 +315,28 @@ def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule
         if nzr.size:
             back.emit(above[nzr], src, beta=betas[nzr])
 
-    # ---- linearize: S1a|S1b|dense, reversed(S1a), backsolve, S1a ----
+    return SolveState(
+        P=P,
+        overhead=overhead,
+        NB=NB,
+        M=M,
+        rows_cols=rows_cols,
+        piv_rows=piv_rows,
+        piv_cols=piv_cols,
+        u_cols=u_cols,
+        order=order,
+        pos_of_row=pos_of_row,
+        pivpos_of_col=pivpos_of_col,
+        ucol_of=ucol_of,
+        hdpc_used=hdpc_used,
+        U_schur=U_schur,
+        ops=(s1a, s1b, rest, back),
+    )
+
+
+def state_to_schedule(st: SolveState) -> Schedule:
+    """Linearize the recorded ops: S1a|S1b|dense, reversed(S1a), back, S1a."""
+    s1a, s1b, rest, back = st.ops
     a_i, a_j, a_a, a_b = s1a.cat()
     b_i, b_j, b_a, b_b = s1b.cat()
     r_i, r_j, r_a, r_b = rest.cat()
@@ -286,21 +346,34 @@ def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule
     op_a = np.concatenate([a_a, b_a, r_a, a_a[::-1], k_a, a_a])
     op_b = np.concatenate([a_b, b_b, r_b, a_b[::-1], k_b, a_b])
 
+    L = st.P.L
+    i = st.i
     gather = np.zeros(L, np.int32)
-    gather[piv_cols] = piv_rows
-    gather[u_cols] = order[i:L]
+    gather[st.piv_cols] = st.piv_rows
+    gather[st.u_cols] = st.order[i:L]
 
     return Schedule(
         L=L,
-        n_rows=M,
+        n_rows=st.M,
         i=i,
-        u=u,
+        u=st.u,
         op_i=op_i.astype(np.int32),
         op_j=op_j.astype(np.int32),
         op_alpha=op_a.astype(np.uint8),
         op_beta=op_b.astype(np.uint8),
         gather=gather,
+        seg_lens=(len(a_i), len(b_i), len(r_i), len(k_i)),
     )
+
+
+def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule | None:
+    """Invert the precode system, returning the linear-op Schedule or None.
+
+    `rows_cols` are the binary rows (LT then LDPC) as produced by
+    precode.matrix.binary_rows — Kp+overhead+S column-index arrays.
+    """
+    st = _solve_core(P, rows_cols, overhead)
+    return None if st is None else state_to_schedule(st)
 
 
 def solve_encoder(P: Params) -> Schedule | None:
