@@ -1,0 +1,304 @@
+"""Public codec API: Encoder / Decoder objects over pluggable I/O.
+
+Functional parity with the 20-function reference API (include/nanorq.h):
+object lifecycle, OTI words, per-symbol and batched encode, decoder symbol
+ingestion with ADDED/IGN/DUP/ERR statuses, gap tracking, block repair,
+precalculate/reset/cleanup.  The compute path differs by design: schedules
+are solved on host (precode.solver), payload math runs on device via the
+structured replayer (ops.replay) and batched LT combine (ops.lt).
+
+Mirrored reference behaviors worth noting:
+- precode params derive from block 0's K and are shared by all blocks
+  (lib/nanorq.c:289: params_init(nanorq_block_symbols(rq, 0))), including
+  the repair-ISI padding shift Kprime - K (nanorq.c:429).
+- decoder max_esi defaults to 2*K' (nanorq.c:374) and repair beyond it is
+  rejected; nanorq_set_max_esi analog via the max_esi property.
+- encoder T adjustment: Al clamp, T rounded down to Al, grown while the
+  transfer exceeds Z_max*K_max symbols (nanorq.c:252-272).
+"""
+
+import numpy as np
+
+from nanorq_tpu.codec import cache as _cache
+from nanorq_tpu.codec.oti import pack_oti_common, pack_oti_scheme, split_tag
+from nanorq_tpu.codec.partition import Scheme, div_ceil, make_scheme, scheme_from_oti, symbol_ranges
+from nanorq_tpu.codec.oti import unpack_oti_common, unpack_oti_scheme
+from nanorq_tpu.io.ioctx import IOContext
+from nanorq_tpu.rfc.params import Params, params_init
+from nanorq_tpu.rfc.tables import K_MAX, MAX_TRANSFER, Z_MAX
+
+# symbol ingestion statuses (include/nanorq.h:10-13)
+SYM_ADDED = 0
+SYM_IGN = 1
+SYM_DUP = 2
+SYM_ERR = -1
+
+
+class _Block:
+    """Per-SBN working state (reference struct block_encoder, nanorq.c:40-47)."""
+
+    __slots__ = ("K", "D", "C", "loaded", "received", "repair", "written")
+
+    def __init__(self, K: int):
+        self.K = K
+        self.D: np.ndarray | None = None  # [M_pad, T] payload matrix
+        self.C = None  # device intermediate symbols [L, T]
+        self.loaded = False
+        self.received: set[int] = set()
+        self.repair: list[tuple[int, np.ndarray]] = []
+        self.written: set[int] = set()
+
+    def reset(self):
+        self.D = None
+        self.C = None
+        self.loaded = False
+        self.received.clear()
+        self.repair.clear()
+        self.written.clear()
+
+
+class _CodecBase:
+    scheme: Scheme
+    P: Params
+
+    def __init__(self):
+        self._blocks: dict[int, _Block] = {}
+
+    # --- introspection (nanorq.h parity) ---
+    def oti_common(self) -> int:
+        return pack_oti_common(self.scheme.F, self.scheme.T)
+
+    def oti_scheme_specific(self) -> int:
+        return pack_oti_scheme(self.scheme.Z, self.scheme.N, self.scheme.Al)
+
+    @property
+    def transfer_length(self) -> int:
+        return self.scheme.F
+
+    @property
+    def symbol_size(self) -> int:
+        return self.scheme.T
+
+    @property
+    def num_blocks(self) -> int:
+        return self.scheme.blocks
+
+    @property
+    def max_blocks(self) -> int:
+        return Z_MAX
+
+    def block_symbols(self, sbn: int) -> int:
+        return self.scheme.block_symbols(sbn)
+
+    def _block(self, sbn: int) -> _Block:
+        b = self._blocks.get(sbn)
+        if b is None:
+            b = _Block(self.block_symbols(sbn))
+            self._blocks[sbn] = b
+        return b
+
+    def cleanup(self, sbn: int) -> None:
+        self._blocks.pop(sbn, None)
+
+    def reset(self, sbn: int) -> None:
+        b = self._blocks.get(sbn)
+        if b is not None:
+            b.reset()
+
+    # --- shared I/O scatter/gather ---
+    def _read_symbol(self, io: IOContext, sbn: int, esi: int, K: int) -> np.ndarray:
+        out = np.zeros(self.scheme.T, np.uint8)
+        for off, length, col in symbol_ranges(self.scheme, sbn, esi, K):
+            data = io.read_at(off, length)
+            out[col : col + len(data)] = np.frombuffer(data, np.uint8)
+        return out
+
+    def _write_symbol(self, io: IOContext, sbn: int, esi: int, K: int, payload: np.ndarray) -> None:
+        for off, length, col in symbol_ranges(self.scheme, sbn, esi, K):
+            io.write_at(off, payload[col : col + length])
+
+
+class Encoder(_CodecBase):
+    """Systematic RaptorQ encoder (reference nanorq_encoder_new_ex path)."""
+
+    def __init__(self, transfer_length: int, symbol_size: int, Al: int = 4, K: int = 0, Z: int = 0):
+        super().__init__()
+        if transfer_length > MAX_TRANSFER:
+            raise ValueError("transfer too large")
+        # clamp alignment to the largest supported value <= Al (nanorq.c:252-259)
+        for a in (8, 4, 2, 1):
+            if Al >= a:
+                Al = a
+                break
+        else:
+            Al = 1
+        T = max(symbol_size, Al)
+        T -= T % Al
+        while div_ceil(transfer_length, T) > Z_MAX * K_MAX:
+            T *= Al
+        self.scheme = make_scheme(transfer_length, T, Al, K=K, Z=Z)
+        self.P = params_init(max(1, self.scheme.block_symbols(0)))
+
+    # --- schedule management ---
+    def precalculate(self) -> bool:
+        """Solve (and cache) the loss-independent encoder schedule."""
+        _cache.encoder_schedule(self.P.Kp)
+        return True
+
+    def _load(self, io: IOContext, sbn: int) -> _Block:
+        b = self._block(sbn)
+        if not b.loaded:
+            ds = _cache.encoder_schedule(self.P.Kp)
+            D = np.zeros((ds.M_pad, self.scheme.T), np.uint8)
+            for esi in range(b.K):
+                D[esi] = self._read_symbol(io, sbn, esi, b.K)
+            b.D = D
+            b.loaded = True
+        return b
+
+    def generate_symbols(self, sbn: int, io: IOContext) -> bool:
+        """Compute the block's intermediate symbols (nanorq_generate_symbols)."""
+        b = self._load(io, sbn)
+        if b.C is not None:
+            return True
+        import jax.numpy as jnp
+
+        from nanorq_tpu.ops.replay import device_arrays, replay_device
+
+        ds = _cache.encoder_schedule(self.P.Kp)
+        b.C = replay_device(device_arrays(ds), jnp.asarray(b.D))
+        return True
+
+    def encode_batch(self, sbn: int, esis: np.ndarray, io: IOContext) -> np.ndarray:
+        """Encode many symbols of one block at once -> [n, T] uint8.
+
+        Source ESIs (esi < K) are served from the loaded symbol matrix
+        (systematic fast path, nanorq.c:414-420); repair ESIs from the
+        batched LT combine over the device intermediates.
+        """
+        esis = np.asarray(esis, dtype=np.int64)
+        b = self._load(io, sbn)
+        out = np.zeros((len(esis), self.scheme.T), np.uint8)
+        src_mask = esis < b.K
+        if src_mask.any():
+            out[src_mask] = b.D[esis[src_mask]]
+        rep = np.nonzero(~src_mask)[0]
+        if rep.size:
+            if b.C is None:
+                self.generate_symbols(sbn, io)
+            from nanorq_tpu.ops.lt import lt_combine, lt_plan
+
+            isis = (esis[rep] + (self.P.Kp - b.K)).astype(np.uint32)
+            plan = lt_plan(isis, self.P)
+            sym = np.asarray(lt_combine(b.C, plan))
+            out[rep] = sym[: rep.size]
+        return out
+
+    def encode(self, esi: int, sbn: int, io: IOContext) -> np.ndarray:
+        """Single-symbol encode (nanorq_encode parity)."""
+        if esi > (1 << 24) - 1:
+            raise ValueError("esi out of range")
+        return self.encode_batch(sbn, np.array([esi]), io)[0]
+
+
+class Decoder(_CodecBase):
+    """RaptorQ decoder (reference nanorq_decoder_new / add_symbol / repair)."""
+
+    def __init__(self, oti_common: int, oti_scheme: int):
+        super().__init__()
+        F, T = unpack_oti_common(oti_common)
+        Z, N, Al = unpack_oti_scheme(oti_scheme)
+        if F > MAX_TRANSFER:
+            raise ValueError("transfer too large")
+        self.scheme = scheme_from_oti(F, T, Al, Z, N)
+        self.P = params_init(max(1, self.scheme.block_symbols(0)))
+        self.max_esi = 2 * self.P.Kp
+
+    def set_max_esi(self, max_esi: int) -> bool:
+        if max_esi >= (1 << 24) or max_esi < self.P.Kp:
+            return False
+        self.max_esi = max_esi
+        return True
+
+    def add_symbol(self, data, tag: int, io: IOContext) -> int:
+        """Ingest one received symbol (nanorq_decoder_add_symbol parity)."""
+        sbn, esi = split_tag(tag)
+        if sbn >= self.num_blocks or esi > self.max_esi:
+            return SYM_ERR
+        b = self._block(sbn)
+        if self.num_missing(sbn) == 0:
+            return SYM_IGN
+        if esi in b.received:
+            return SYM_DUP
+        payload = np.frombuffer(bytes(data), np.uint8).copy() if not isinstance(data, np.ndarray) else data.astype(np.uint8).copy()
+        if len(payload) != self.scheme.T:
+            return SYM_ERR
+        if esi < b.K:
+            if b.D is None:
+                ds_rows = self._d_rows()
+                b.D = np.zeros((ds_rows, self.scheme.T), np.uint8)
+            b.D[esi] = payload
+            self._write_symbol(io, sbn, esi, b.K, payload)
+            b.written.add(esi)
+        else:
+            b.repair.append((esi, payload))
+        b.received.add(esi)
+        return SYM_ADDED
+
+    def _d_rows(self) -> int:
+        # room for Kp LT rows + max overhead + S + H, padded generously;
+        # the repair-time D is rebuilt at the schedule's exact M_pad anyway
+        return self.P.Kp + 1
+
+    def num_missing(self, sbn: int) -> int:
+        b = self._block(sbn)
+        return b.K - sum(1 for e in b.received if e < b.K)
+
+    def num_repair(self, sbn: int) -> int:
+        return len(self._block(sbn).repair)
+
+    def repair_block(self, io: IOContext, sbn: int) -> bool:
+        """Recover the block's missing source symbols (nanorq_repair_block)."""
+        import jax.numpy as jnp
+
+        from nanorq_tpu.ops.lt import lt_combine, lt_plan
+        from nanorq_tpu.ops.replay import device_arrays, replay_device
+
+        b = self._block(sbn)
+        P = self.P
+        gaps = np.array(sorted(set(range(b.K)) - {e for e in b.received if e < b.K}), np.int64)
+        if gaps.size == 0:
+            return True
+        if len(b.repair) < gaps.size:
+            return False
+        overhead = len(b.repair) - gaps.size
+        pad = P.Kp - b.K
+
+        # patched system: gap LT slots take repair ISIs; overhead rows after
+        # (reference patch_precode_matrix, nanorq.c:527-547)
+        isis = np.arange(P.Kp + overhead, dtype=np.uint32)
+        rep_esis = np.array([e for e, _ in b.repair], np.int64)
+        rep_isis = (rep_esis + pad).astype(np.uint32)
+        isis[gaps] = rep_isis[: gaps.size]
+        isis[P.Kp :] = rep_isis[gaps.size :]
+
+        ds = _cache.decoder_schedule(P, isis, overhead)
+        if ds is None:
+            return False  # rank deficient: caller feeds more symbols, retries
+
+        D = np.zeros((ds.M_pad, self.scheme.T), np.uint8)
+        for esi in b.received:
+            if esi < b.K and b.D is not None:
+                D[esi] = b.D[esi]
+        for slot, (_, payload) in zip(gaps, b.repair[: gaps.size]):
+            D[slot] = payload
+        for slot, (_, payload) in zip(range(P.Kp, P.Kp + overhead), b.repair[gaps.size :]):
+            D[slot] = payload
+
+        C = replay_device(device_arrays(ds), jnp.asarray(D))
+        plan = lt_plan(gaps.astype(np.uint32), P)  # gap ESIs == ISIs (< K)
+        recovered = np.asarray(lt_combine(C, plan))[: gaps.size]
+        for g, payload in zip(gaps, recovered):
+            self._write_symbol(io, sbn, int(g), b.K, payload)
+            b.received.add(int(g))
+        return self.num_missing(sbn) == 0

@@ -1,0 +1,105 @@
+"""Schedule and plan caches.
+
+The encoder precode system depends only on K', so its solved DeviceSchedule
+is cached globally and shared by every block and every Encoder instance —
+this is the always-on generalization of the reference's nanorq_precalculate
+(lib/nanorq.c:393-401).  Decoder schedules depend on the received-ISI
+pattern; they are LRU-cached so steady loss patterns (and benchmark loops)
+re-solve nothing.  Serialization helpers let long-lived services persist
+solved schedules across restarts (SURVEY.md s5 checkpoint/resume).
+"""
+
+import os
+import pickle
+from collections import OrderedDict
+from threading import Lock
+
+import numpy as np
+
+from nanorq_tpu.precode.device_schedule import DeviceSchedule, compile_device
+from nanorq_tpu.precode.matrix import binary_rows
+from nanorq_tpu.precode.solver import _solve_core
+from nanorq_tpu.rfc.params import Params, params_init
+
+_enc_lock = Lock()
+_enc_cache: dict[tuple[int, int], DeviceSchedule] = {}
+
+_dec_lock = Lock()
+_dec_cache: OrderedDict[bytes, DeviceSchedule | None] = OrderedDict()
+_DEC_CAPACITY = 128
+
+
+def encoder_schedule(Kp: int, CB: int = 256) -> DeviceSchedule:
+    """Solved encoder-side schedule for K' (loss independent, cached)."""
+    key = (Kp, CB)
+    with _enc_lock:
+        ds = _enc_cache.get(key)
+    if ds is not None:
+        return ds
+    P = params_init(Kp)
+    assert P.Kp == Kp
+    st = _solve_core(P, binary_rows(P))
+    if st is None:  # cannot happen for Table 2 K' values
+        raise RuntimeError(f"encoder precode solve failed for K'={Kp}")
+    ds = compile_device(st, CB=CB)
+    with _enc_lock:
+        _enc_cache[key] = ds
+    return ds
+
+
+def clear_encoder_cache() -> None:
+    with _enc_lock:
+        _enc_cache.clear()
+
+
+def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int = 256) -> DeviceSchedule | None:
+    """Solve (or fetch) the schedule for a decode-side patched system.
+
+    Returns None on rank deficiency (decode failure — feed more symbols).
+    Failures are cached too: retrying the same pattern cannot succeed.
+    """
+    key = b"%d|%d|%d|" % (P.Kp, overhead, CB) + np.ascontiguousarray(isis, np.uint32).tobytes()
+    with _dec_lock:
+        if key in _dec_cache:
+            _dec_cache.move_to_end(key)
+            return _dec_cache[key]
+    st = _solve_core(P, binary_rows(P, isis, overhead), overhead)
+    ds = None if st is None else compile_device(st, CB=CB)
+    with _dec_lock:
+        _dec_cache[key] = ds
+        while len(_dec_cache) > _DEC_CAPACITY:
+            _dec_cache.popitem(last=False)
+    return ds
+
+
+def save_schedule(ds: DeviceSchedule, path: str) -> None:
+    """Persist a solved schedule (checkpoint/resume for long-lived encoders)."""
+    with open(path, "wb") as f:
+        pickle.dump(ds, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_schedule(path: str) -> DeviceSchedule:
+    with open(path, "rb") as f:
+        ds = pickle.load(f)
+    assert isinstance(ds, DeviceSchedule)
+    return ds
+
+
+def warm_encoder_cache(Kp: int, cache_dir: str | None = None, CB: int = 256) -> DeviceSchedule:
+    """Disk-backed variant of encoder_schedule for cold-start latency."""
+    if cache_dir is None:
+        return encoder_schedule(Kp, CB)
+    path = os.path.join(cache_dir, f"enc_{Kp}_{CB}.sched")
+    key = (Kp, CB)
+    with _enc_lock:
+        if key in _enc_cache:
+            return _enc_cache[key]
+    if os.path.exists(path):
+        ds = load_schedule(path)
+        with _enc_lock:
+            _enc_cache[key] = ds
+        return ds
+    ds = encoder_schedule(Kp, CB)
+    os.makedirs(cache_dir, exist_ok=True)
+    save_schedule(ds, path)
+    return ds

@@ -1,0 +1,148 @@
+"""Pluggable object I/O, the analog of the reference's ioctx vtable.
+
+Reference parity (include/io.h:7-16, lib/io.c): three backends — stdio file,
+in-memory buffer, mmap — behind seek/read/write/size.  Here the interface is
+positional (read_at/write_at) which maps directly onto the codec's
+symbol-range scatter/gather (codec.partition.symbol_ranges) and avoids
+stateful seek bookkeeping.  The mmap backend grows files on demand for
+writers like the reference's ftruncate path (lib/io.c:258-300).
+"""
+
+import mmap
+import os
+
+import numpy as np
+
+
+class IOContext:
+    """Positional byte I/O over an object of known (or growable) size."""
+
+    writable = False
+    seekable = True
+
+    def read_at(self, offset: int, n: int) -> bytes:
+        raise NotImplementedError
+
+    def write_at(self, offset: int, data) -> int:
+        raise NotImplementedError
+
+    def size(self) -> int:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class MemoryIO(IOContext):
+    """Zero-copy view over a bytearray / NumPy uint8 buffer (io.c:139-157)."""
+
+    writable = True
+
+    def __init__(self, buf):
+        if isinstance(buf, (bytes, bytearray, memoryview)):
+            self._buf = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, bytes) else np.asarray(
+                memoryview(buf), dtype=np.uint8
+            )
+        else:
+            self._buf = np.asarray(buf, dtype=np.uint8)
+
+    @property
+    def buffer(self) -> np.ndarray:
+        return self._buf
+
+    def read_at(self, offset: int, n: int) -> bytes:
+        return self._buf[offset : offset + n].tobytes()
+
+    def read_view(self, offset: int, n: int) -> np.ndarray:
+        return self._buf[offset : offset + n]
+
+    def write_at(self, offset: int, data) -> int:
+        d = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8)
+        n = min(len(d), len(self._buf) - offset)
+        self._buf[offset : offset + n] = d[:n]
+        return n
+
+
+class FileIO(IOContext):
+    """Buffered file-descriptor I/O (io.c:54-80)."""
+
+    def __init__(self, path: str, write: bool = False, create_size: int | None = None):
+        mode = "r+b" if write and os.path.exists(path) else ("w+b" if write else "rb")
+        self._f = open(path, mode)
+        self.writable = write
+        if create_size:
+            self._f.truncate(create_size)
+
+    def read_at(self, offset: int, n: int) -> bytes:
+        self._f.seek(offset)
+        return self._f.read(n)
+
+    def write_at(self, offset: int, data) -> int:
+        self._f.seek(offset)
+        return self._f.write(bytes(data) if not isinstance(data, (bytes, bytearray)) else data)
+
+    def size(self) -> int:
+        pos = self._f.tell()
+        self._f.seek(0, os.SEEK_END)
+        n = self._f.tell()
+        self._f.seek(pos)
+        return n
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class MmapIO(IOContext):
+    """Memory-mapped file I/O with on-demand growth for writers
+    (io.c:159-388; whole-file mapping instead of a 64 KiB sliding window —
+    the kernel's page cache does the windowing)."""
+
+    def __init__(self, path: str, write: bool = False, create_size: int | None = None):
+        self.writable = write
+        flags = os.O_RDWR | os.O_CREAT if write else os.O_RDONLY
+        self._fd = os.open(path, flags, 0o644)
+        self._size = os.fstat(self._fd).st_size
+        if write and create_size and create_size > self._size:
+            os.ftruncate(self._fd, create_size)
+            self._size = create_size
+        self._map = None
+        if self._size:
+            self._remap()
+
+    def _remap(self):
+        if self._map is not None:
+            self._map.close()
+        acc = mmap.ACCESS_WRITE if self.writable else mmap.ACCESS_READ
+        self._map = mmap.mmap(self._fd, self._size, access=acc)
+
+    def _grow(self, need: int):
+        newsize = max(need, self._size * 2 if self._size else need)
+        os.ftruncate(self._fd, newsize)
+        self._size = newsize
+        self._remap()
+
+    def read_at(self, offset: int, n: int) -> bytes:
+        if offset >= self._size:
+            return b""
+        return self._map[offset : min(offset + n, self._size)]
+
+    def write_at(self, offset: int, data) -> int:
+        data = bytes(data) if not isinstance(data, (bytes, bytearray)) else data
+        if offset + len(data) > self._size:
+            self._grow(offset + len(data))
+        self._map[offset : offset + len(data)] = data
+        return len(data)
+
+    def size(self) -> int:
+        return self._size
+
+    def close(self) -> None:
+        if self._map is not None:
+            self._map.close()
+        os.close(self._fd)

@@ -1,0 +1,47 @@
+"""File round-trip through the CLI encoder/decoder (reference `make test`
+analog, example.make:1-14: encode a text file with simulated loss, decode,
+byte-compare)."""
+
+import os
+
+import numpy as np
+
+from nanorq_tpu.cli.decode import main as decode_main
+from nanorq_tpu.cli.encode import main as encode_main
+
+
+def test_cli_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(42)
+    src = tmp_path / "input.bin"
+    # mixed compressible + random content, non-multiple of packet size
+    data = bytes(rng.integers(0, 256, 30_001, dtype=np.uint8)) + b"war and peace " * 500
+    src.write_bytes(data)
+    rq = tmp_path / "data.rq"
+    out = tmp_path / "output.bin"
+    cwd = os.getcwd()
+    rc = encode_main([str(src), "1280", "-o", str(rq), "--seed", "7"])
+    assert rc == 0
+    rc = decode_main([str(out), "-i", str(rq)])
+    assert rc == 0
+    assert out.read_bytes() == data
+
+
+def test_cli_wire_format(tmp_path):
+    """data.rq layout: u64 LE oti_common, u32 LE oti_scheme, (u32 tag, T)*"""
+    import struct
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(bytes(range(256)) * 20)
+    rq = tmp_path / "data.rq"
+    assert encode_main([str(src), "256", "-o", str(rq), "--seed", "1", "--loss", "0"]) == 0
+    blob = rq.read_bytes()
+    common, scheme = struct.unpack_from("<QI", blob, 0)
+    F, T = common >> 24, (common & 0xFFFF) + 1
+    assert F == 256 * 20 and T == 256
+    Al = scheme & 0xFF
+    assert Al == 8
+    body = blob[12:]
+    assert len(body) % (4 + T) == 0
+    tags = [struct.unpack_from("<I", body, i * (4 + T))[0] for i in range(len(body) // (4 + T))]
+    sbns = {t >> 24 for t in tags}
+    assert sbns == set(range(((scheme >> 24) & 0xFF) + 1))

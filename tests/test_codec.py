@@ -1,0 +1,157 @@
+"""End-to-end codec tests: OTI, partitioning, round trips with loss."""
+
+import numpy as np
+import pytest
+
+from nanorq_tpu.codec.api import SYM_ADDED, SYM_DUP, SYM_ERR, SYM_IGN, Decoder, Encoder
+from nanorq_tpu.codec.oti import make_tag, pack_oti_common, split_tag, unpack_oti_common
+from nanorq_tpu.codec.oti import pack_oti_scheme, unpack_oti_scheme
+from nanorq_tpu.codec.partition import Partition, make_scheme, symbol_ranges
+from nanorq_tpu.io.ioctx import MemoryIO
+
+
+def test_oti_roundtrip():
+    for F, T in [(1, 1), (1280 * 100, 1280), (946270874880, 65535)]:
+        c = pack_oti_common(F, T)
+        assert unpack_oti_common(c) == (F, T)
+    for Z, N, Al in [(1, 1, 1), (16, 1, 8), (256, 256, 4)]:
+        s = pack_oti_scheme(Z, N, Al)
+        assert unpack_oti_scheme(s) == (Z, N, Al)
+    assert split_tag(make_tag(3, 12345)) == (3, 12345)
+
+
+def test_partition_math():
+    p = Partition.make(10, 3)  # 10 = 4+3+3
+    assert (p.IL, p.IS, p.JL, p.JS) == (4, 3, 1, 2)
+    assert [p.size(j) for j in range(3)] == [4, 3, 3]
+    p = Partition.make(9, 3)
+    assert (p.IL, p.JL) == (0, 0) and p.IS == 3 and p.JS == 3
+
+
+def test_symbol_ranges_cover_object():
+    s = make_scheme(F=10_000, T=1280, Al=8)
+    seen = np.zeros(s.F, bool)
+    for sbn in range(s.blocks):
+        K = s.block_symbols(sbn)
+        for esi in range(K):
+            for off, length, col in symbol_ranges(s, sbn, esi, K):
+                assert not seen[off : off + length].any()
+                seen[off : off + length] = True
+    assert seen.all()
+
+
+def _roundtrip(size, T, loss, seed, Z=0, K=0, overhead=5):
+    rng = np.random.default_rng(seed)
+    pyrng = np.random.default_rng(seed + 1)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    out = np.zeros(size, np.uint8)
+    enc = Encoder(size, T, Al=8, K=K, Z=Z)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    io_in, io_out = MemoryIO(data), MemoryIO(out)
+    for sbn in range(enc.num_blocks):
+        nsym = enc.block_symbols(sbn)
+        kept = [e for e in range(nsym) if pyrng.random() * 100 >= loss]
+        dropped = nsym - len(kept)
+        esis = kept + list(range(nsym, nsym + dropped + overhead))
+        payloads = enc.encode_batch(sbn, np.array(esis), io_in)
+        for esi, p in zip(esis, payloads):
+            st = dec.add_symbol(p.tobytes(), make_tag(sbn, esi), io_out)
+            assert st in (SYM_ADDED, SYM_IGN)
+        assert dec.repair_block(io_out, sbn), f"repair failed sbn={sbn}"
+    assert np.array_equal(out, data)
+    return enc, dec
+
+
+@pytest.mark.parametrize(
+    "size,T,loss,seed",
+    [
+        (1000, 64, 0.0, 1),
+        (10_000, 256, 6.0, 2),
+        (100_000, 1280, 6.0, 3),
+        (5_000, 128, 30.0, 4),
+        (1279, 1280, 0.0, 5),  # single short symbol
+        (1281, 1280, 50.0, 6),  # final short symbol
+    ],
+)
+def test_memory_roundtrip(size, T, loss, seed):
+    _roundtrip(size, T, loss, seed)
+
+
+def test_multiblock_roundtrip():
+    # force multiple source blocks (Z=4)
+    _roundtrip(40_000, 256, 10.0, 7, Z=4)
+
+
+def test_decoder_statuses():
+    size, T = 4000, 256
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8, Z=1)  # one block so gaps remain after 1 add
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    io_in, io_out = MemoryIO(data), MemoryIO(np.zeros(size, np.uint8))
+    p = enc.encode_batch(0, np.array([0]), io_in)[0]
+    assert dec.add_symbol(p.tobytes(), make_tag(0, 0), io_out) == SYM_ADDED
+    assert dec.add_symbol(p.tobytes(), make_tag(0, 0), io_out) == SYM_DUP
+    assert dec.add_symbol(p.tobytes(), make_tag(99, 0), io_out) == SYM_ERR
+    assert dec.add_symbol(p.tobytes(), make_tag(0, 1 << 23), io_out) == SYM_ERR
+    assert dec.add_symbol(b"x", make_tag(0, 1), io_out) == SYM_ERR
+    # IGN once the block needs no repair (reference gaps-first precedence)
+    K = enc.block_symbols(0)
+    payloads = enc.encode_batch(0, np.arange(1, K), io_in)
+    for esi in range(1, K):
+        dec.add_symbol(payloads[esi - 1].tobytes(), make_tag(0, esi), io_out)
+    assert dec.add_symbol(p.tobytes(), make_tag(0, K), io_out) == SYM_IGN
+
+
+def test_systematic_zero_loss_needs_no_repair():
+    size, T = 8000, 256
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    out = np.zeros(size, np.uint8)
+    enc = Encoder(size, T, Al=8)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    io_in, io_out = MemoryIO(data), MemoryIO(out)
+    for sbn in range(enc.num_blocks):
+        K = enc.block_symbols(sbn)
+        payloads = enc.encode_batch(sbn, np.arange(K), io_in)
+        for esi in range(K):
+            dec.add_symbol(payloads[esi].tobytes(), make_tag(sbn, esi), io_out)
+        assert dec.num_missing(sbn) == 0
+        assert dec.repair_block(io_out, sbn)  # no-op, returns True
+    assert np.array_equal(out, data)
+
+
+def test_insufficient_repair_returns_false():
+    size, T = 4000, 256
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8, Z=1)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    io_in, io_out = MemoryIO(data), MemoryIO(np.zeros(size, np.uint8))
+    K = enc.block_symbols(0)
+    # drop 3 source symbols, supply only 1 repair
+    esis = list(range(3, K)) + [K]
+    payloads = enc.encode_batch(0, np.array(esis), io_in)
+    for esi, p in zip(esis, payloads):
+        dec.add_symbol(p.tobytes(), make_tag(0, esi), io_out)
+    assert dec.num_missing(0) == 3 and dec.num_repair(0) == 1
+    assert not dec.repair_block(io_out, 0)
+    # feeding the rest repairs it
+    more = [K + 1, K + 2, K + 3]
+    payloads = enc.encode_batch(0, np.array(more), io_in)
+    for esi, p in zip(more, payloads):
+        dec.add_symbol(p.tobytes(), make_tag(0, esi), io_out)
+    assert dec.repair_block(io_out, 0)
+
+
+def test_precalculate_and_reset():
+    size, T = 4000, 256
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8)
+    assert enc.precalculate()
+    io_in = MemoryIO(data)
+    p1 = enc.encode_batch(0, np.array([0, 1, enc.block_symbols(0)]), io_in)
+    enc.reset(0)
+    p2 = enc.encode_batch(0, np.array([0, 1, enc.block_symbols(0)]), io_in)
+    assert np.array_equal(p1, p2)
