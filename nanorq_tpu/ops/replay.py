@@ -7,6 +7,15 @@ codec lays out B independent blocks side by side (t = B*T), so every stage
 is a wide VPU/MXU op and the ~2*Lpad/CB-step sequential chain amortizes
 across the whole batch.
 
+The program is deliberately scatter-free: all sparse structure is expressed
+as row-aligned gather-XOR passes, one-hot GF(2) matmuls, and static slice
+updates (dynamic row-scatters cost ~30x on TPU).
+
+Two backends share one program structure:
+- "pallas" (TPU): fused in-VMEM kernels (ops/pallas_kernels.py) — bit-plane
+  GF matmuls on the MXU and multi-DMA row gathers.
+- "xla" (CPU tests / fallback): plain jnp from ops/gfmat.py.
+
 jit-compiled per DeviceSchedule *shape* signature: canonical padding in the
 compiler makes decode schedules for one K' share a compiled program.
 """
@@ -16,74 +25,148 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from nanorq_tpu.ops.gfmat import apply_bucket, gf2_matmul, gf256_matmul_bits
-from nanorq_tpu.precode.device_schedule import DeviceSchedule
+from nanorq_tpu.gf256.bitplane import companion_bits
+from nanorq_tpu.ops import gfmat
+from nanorq_tpu.precode.device_schedule import DeviceSchedule, GatherPlan
+
+MHD_KB = 2048  # K-block width for the (large-k) HDPC companion matmul
 
 
-def device_arrays(ds: DeviceSchedule) -> dict:
-    """Convert a DeviceSchedule into the jnp pytree the executor consumes."""
+def default_backend() -> str:
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+
+def _plan_arrays(plan: GatherPlan) -> tuple:
     j = jnp.asarray
+    return (
+        tuple(j(p) for p in plan.passes),
+        tuple((j(ix), j(oh)) for ix, oh in plan.overflow),
+    )
+
+
+def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
+    """Convert a DeviceSchedule into the jnp pytree the executor consumes."""
+    backend = backend or default_backend()
+    pallas = backend == "pallas"
+    j = jnp.asarray
+    mhd_bits = None
+    if ds.mhd is not None:
+        if pallas:
+            from nanorq_tpu.ops.pallas_kernels import companion_bits_blocked
+
+            mhd_bits = companion_bits_blocked(ds.mhd, min(MHD_KB, ds.Lpad))
+        else:
+            mhd_bits = companion_bits(ds.mhd)
+    if pallas:
+        from nanorq_tpu.ops.pallas_kernels import companion_bits_blocked
+
+        vinv_bits = companion_bits_blocked(ds.vinv, ds.u_pad)
+    else:
+        vinv_bits = companion_bits(ds.vinv)
     return {
+        "pallas": pallas,
         "piv_rows": j(ds.piv_rows),
         "tinv": j(ds.tinv_bits),
-        "tdeps": tuple(tuple((j(b.slots), j(b.idx)) for b in ch) for ch in ds.tdeps),
+        "tdeps": tuple(_plan_arrays(p) for p in ds.tdeps),
         "sel_rows": j(ds.sel_rows),
-        "bsel": tuple((j(b.slots), j(b.idx)) for b in ds.bsel),
-        "hd_slots": None if ds.hd_slots is None else j(ds.hd_slots),
-        "mhd_bits": None if ds.mhd_bits is None else j(ds.mhd_bits),
-        "vinv_bits": j(ds.vinv_bits),
-        "ut": tuple((j(b.slots), j(b.idx)) for b in ds.ut),
+        "bsel": _plan_arrays(ds.bsel),
+        "hd_onehot": None if ds.mhd is None else j(ds.hd_onehot),
+        "mhd_bits": mhd_bits if ds.mhd is None else j(mhd_bits),
+        "vinv_bits": j(vinv_bits),
+        "ut": _plan_arrays(ds.ut),
         "out_sel": j(ds.out_sel),
     }
 
 
-def _trisolve(arr: dict, y: jnp.ndarray) -> jnp.ndarray:
+def _gf2mm(pallas: bool, bits, X):
+    if pallas and X.shape[1] % 128 == 0:
+        from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
+
+        return gf2_matmul_pallas(bits, X)
+    return gfmat.gf2_matmul(bits, X)
+
+
+def _gf256mm(pallas: bool, Mbits, X, kb):
+    if pallas:
+        # Mbits is in blocked-planar layout: no silent XLA fallback possible
+        from nanorq_tpu.ops.pallas_kernels import gf256_matmul_pallas
+
+        return gf256_matmul_pallas(Mbits, X, kb=kb)
+    return gfmat.gf256_matmul_bits(Mbits, X)
+
+
+def _gather(pallas: bool, src, idx):
+    if pallas and src.shape[1] % 1024 == 0:
+        from nanorq_tpu.ops.pallas_kernels import gather_xor_pallas
+
+        return gather_xor_pallas(src, idx)
+    return gfmat.xor_reduce_gather(src, idx)
+
+
+def take_rows(pallas: bool, src: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Row gather src[rows] via the DMA kernel (XLA row-takes are slow)."""
+    if pallas and src.shape[1] % 1024 == 0:
+        return _gather(pallas, src, rows[:, None])
+    return jnp.take(src, rows, axis=0)
+
+
+def _apply_plan(pallas: bool, src_ext: jnp.ndarray, plan, base: jnp.ndarray) -> jnp.ndarray:
+    """base ^= XOR-gathers of src_ext per GatherPlan (row-aligned, no scatters)."""
+    passes, overflow = plan
+    out = base
+    for p in passes:
+        out = out ^ _gather(pallas, src_ext, p)
+    for idx, onehot in overflow:
+        red = _gather(pallas, src_ext, idx)
+        out = out ^ _gf2mm(pallas, onehot, red)
+    return out
+
+
+def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     """y [Lpad, t] -> z [Lpad+1, t] = T^-1 y (last row zero sentinel)."""
     nchunks, CB, _ = arr["tinv"].shape
     t = y.shape[1]
     z = jnp.zeros((nchunks * CB + 1, t), jnp.uint8)
     for q in range(nchunks):
-        acc = jnp.zeros((CB + 1, t), jnp.uint8)
-        acc = acc.at[:CB].set(jax.lax.dynamic_slice_in_dim(y, q * CB, CB, 0))
-        for slots, idx in arr["tdeps"][q]:
-            acc = apply_bucket(z, acc, slots, idx)
-        zq = gf2_matmul(arr["tinv"][q], acc[:CB])
-        z = jax.lax.dynamic_update_slice_in_dim(z, zq, q * CB, 0)
+        acc = _apply_plan(pallas, z, arr["tdeps"][q], y[q * CB : (q + 1) * CB])
+        zq = _gf2mm(pallas, arr["tinv"][q], acc)
+        z = z.at[q * CB : (q + 1) * CB].set(zq)
     return z
 
 
-@partial(jax.jit, static_argnames=())
 def replay_device(arr: dict, D: jnp.ndarray) -> jnp.ndarray:
     """Structured replay: D [M_pad, t] -> C [L, t]."""
+    a = dict(arr)
+    pallas = a.pop("pallas")
+    return _replay_jit(a, D, pallas)
+
+
+@partial(jax.jit, static_argnames=("pallas",))
+def _replay_jit(arr: dict, D: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     Lpad = arr["piv_rows"].shape[0]
     u_pad = arr["vinv_bits"].shape[0] // 8
     t = D.shape[1]
 
-    y = jnp.take(D, arr["piv_rows"], axis=0)  # [Lpad, t]
-    z = _trisolve(arr, y)  # stage 1: t1 = T^-1 y
+    y = take_rows(pallas, D, arr["piv_rows"])  # [Lpad, t]
+    z = _trisolve(arr, y, pallas)  # stage 1: t1 = T^-1 y
 
     # stage 2: zsel = y_sel ^ B_sel t1  (+ HDPC dense part)
-    zsel = jnp.zeros((u_pad + 1, t), jnp.uint8)
-    zsel = zsel.at[:u_pad].set(jnp.take(D, arr["sel_rows"], axis=0))
-    for slots, idx in arr["bsel"]:
-        zsel = apply_bucket(z, zsel, slots, idx)
+    zsel = _apply_plan(pallas, z, arr["bsel"], take_rows(pallas, D, arr["sel_rows"]))
     if arr["mhd_bits"] is not None:
-        hvals = gf256_matmul_bits(arr["mhd_bits"], z[:Lpad])  # [H, t]
-        zext = jnp.zeros((u_pad + 1, t), jnp.uint8).at[arr["hd_slots"]].set(hvals, mode="drop")
-        zsel = zsel.at[:u_pad].set(zsel[:u_pad] ^ zext[:u_pad])
+        kb = min(MHD_KB, Lpad)
+        hvals = _gf256mm(pallas, arr["mhd_bits"], z[:Lpad], kb)  # [H_pad, t]
+        zsel = zsel ^ _gf2mm(pallas, arr["hd_onehot"], hvals)
 
     # stage 3: x_u = Vinv zsel
-    xu = gf256_matmul_bits(arr["vinv_bits"], zsel[:u_pad])  # [u_pad, t]
+    xu = _gf256mm(pallas, arr["vinv_bits"], zsel, u_pad)  # [u_pad, t]
 
     # stage 4: w = y ^ U_t x_u (original sparse entries)
-    w = jnp.zeros((Lpad + 1, t), jnp.uint8).at[:Lpad].set(y)
     xu_ext = jnp.concatenate([xu, jnp.zeros((1, t), jnp.uint8)], axis=0)
-    for slots, idx in arr["ut"]:
-        w = apply_bucket(xu_ext, w, slots, idx)
+    w = _apply_plan(pallas, xu_ext, arr["ut"], y)
 
     # stage 5: x_active = T^-1 w
-    xa = _trisolve(arr, w[:Lpad])
+    xa = _trisolve(arr, w, pallas)
 
     # stage 6: output gather
     allrows = jnp.concatenate([xa[:Lpad], xu], axis=0)
-    return jnp.take(allrows, arr["out_sel"], axis=0)
+    return take_rows(pallas, allrows, arr["out_sel"])

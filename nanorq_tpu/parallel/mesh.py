@@ -1,0 +1,91 @@
+"""Multi-chip scaling: blocks sharded across a device mesh.
+
+RaptorQ source blocks are fully independent (the reference exposes this as
+the per-SBN encoder array, lib/nanorq.c:57, but never exploits it — it is
+single threaded).  On TPU the batch axis is the payload width (blocks laid
+side by side, t = B*T), so multi-chip scaling is one shard_map over a 1-D
+'blocks' mesh: every device runs the identical structured replay / LT
+program on its own slice of blocks; schedule arrays are replicated (they are
+small index/bit tensors shared by all blocks of a K').  No collectives are
+needed on the hot path — this is pure SPMD data parallelism over ICI-free
+work, the optimal layout for this workload.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replay_sharded(arr: dict, D: jnp.ndarray, mesh: Mesh):
+    """Sharded structured replay: D [M_pad, n_dev*B*T] split on width."""
+    from nanorq_tpu.ops.replay import _replay_jit
+
+    a = dict(arr)
+    pallas = a.pop("pallas")
+    f = shard_map(
+        partial(_replay_jit, pallas=pallas),
+        mesh=mesh,
+        in_specs=(P(), P(None, "blocks")),
+        out_specs=P(None, "blocks"),
+        check_rep=False,
+    )
+    return jax.jit(f)(a, D)
+
+
+def lt_sharded(C: jnp.ndarray, plan, mesh: Mesh, backend: str | None = None):
+    """Sharded LT combine: C [L, n_dev*B*T] split on width."""
+    from nanorq_tpu.ops.lt import _lt_apply
+    from nanorq_tpu.ops.replay import default_backend
+
+    pallas = (backend or default_backend()) == "pallas"
+
+    def local(parr, C_local):
+        C_ext = jnp.concatenate([C_local, jnp.zeros((1, C_local.shape[1]), jnp.uint8)], axis=0)
+        return _lt_apply(parr, C_ext, plan.n_pad, pallas)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, "blocks")),
+        out_specs=P(None, "blocks"),
+        check_rep=False,
+    )
+    return jax.jit(f)(plan.plan, C)
+
+
+def codec_step_sharded(arr: dict, plan, D: jnp.ndarray, mesh: Mesh):
+    """Full device step (replay + LT) under one jitted shard_map."""
+    from nanorq_tpu.ops.lt import _lt_apply
+    from nanorq_tpu.ops.replay import _replay_jit, default_backend
+
+    a = dict(arr)
+    pallas = a.pop("pallas")
+
+    def local(a_, parr, D_local):
+        C = _replay_jit(a_, D_local, pallas)
+        C_ext = jnp.concatenate([C, jnp.zeros((1, C.shape[1]), jnp.uint8)], axis=0)
+        return C, _lt_apply(parr, C_ext, plan.n_pad, pallas)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, "blocks")),
+        out_specs=(P(None, "blocks"), P(None, "blocks")),
+        check_rep=False,
+    )
+    return jax.jit(f)(a, plan.plan, D)
+
+
+def shard_width(D: np.ndarray, mesh: Mesh):
+    """Place a host payload matrix with its width axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(None, "blocks"))
+    return jax.device_put(D, sh)

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from nanorq_tpu.gf256.bitplane import companion_bits, gf2_matmul_bytes, gf256_matmul_bytes
+from nanorq_tpu.gf256.bitplane import gf2_matmul_bytes, gf256_matmul_bytes
 from nanorq_tpu.gf256.numpy_ops import gf_inv_matrix
 from nanorq_tpu.precode.matrix import hdpc_full_rows
 from nanorq_tpu.precode.solver import SolveState, _BIG
@@ -53,33 +53,56 @@ def _pad_rows(n: int) -> int:
 
 
 @dataclass
-class Bucket:
-    """One width-class of a sparse XOR-gather: out[slots[r]] ^= XOR_c src[idx[r, c]]."""
+class GatherPlan:
+    """Scatter-free sparse XOR-apply: out[r] ^= XOR of src[deps[r]].
 
-    slots: np.ndarray  # int32 [nr] destination slots (trash slot for padding)
-    idx: np.ndarray  # int32 [nr, w] source indices (zero-sentinel for padding)
+    Row-aligned full-coverage passes handle the common small-degree rows
+    (result rows line up with the output, so application is elementwise XOR
+    — dynamic row-scatters cost ~30x an aligned XOR on TPU).  The few
+    wide rows go through quantized-width overflow gathers placed by a 0/1
+    one-hot matrix, i.e. a tiny GF(2) matmul instead of a scatter.
+    """
+
+    n_rows: int
+    passes: list[np.ndarray]  # int32 [n_rows, w_p], sentinel-padded
+    overflow: list[tuple[np.ndarray, np.ndarray]]  # (idx [nb, w], onehot [n_rows, nb])
+
+    @property
+    def empty(self) -> bool:
+        return not self.passes and not self.overflow
 
 
-def _bucketize(slots, deps, sentinel, trash_slot) -> list[Bucket]:
-    """Group variable-length dep lists into quantized-width gather buckets."""
+def _gather_plan(n_rows, slots, deps, sentinel, w_small: int = 8) -> GatherPlan:
+    """Build a GatherPlan from per-slot dep lists (slots index [0, n_rows))."""
+    slots = np.asarray(slots, np.int64)
     counts = np.fromiter((len(d) for d in deps), np.int64, len(deps))
-    out = []
-    widths = sorted({_quant(int(c)) for c in counts[counts > 0]})
-    lo = 0
-    for w in widths:
-        pick = np.nonzero((counts > lo) & (counts <= w))[0]
+    passes: list[np.ndarray] = []
+    overflow = []
+    small = np.nonzero((counts > 0) & (counts <= w_small))[0]
+    if small.size:
+        p = np.full((n_rows, w_small), sentinel, np.int32)
+        for s in small:
+            d = deps[s]
+            p[slots[s], : len(d)] = d
+        passes.append(p)
+    big = np.nonzero(counts > w_small)[0]
+    lo = w_small
+    for w in [x for x in _WIDTHS if x > w_small] + [int(counts.max(initial=0))]:
+        w = min(w, int(counts.max(initial=0)))
+        pick = big[(counts[big] > lo) & (counts[big] <= w)]
+        if pick.size:
+            nb = _pad_rows(pick.size)
+            ix = np.full((nb, w), sentinel, np.int32)
+            oh = np.zeros((n_rows, nb), np.uint8)
+            for r, s in enumerate(pick):
+                d = deps[s]
+                ix[r, : len(d)] = d
+                oh[slots[s], r] = 1
+            overflow.append((ix, oh))
         lo = w
-        if pick.size == 0:
-            continue
-        nr = _pad_rows(pick.size)
-        sl = np.full(nr, trash_slot, np.int32)
-        ix = np.full((nr, w), sentinel, np.int32)
-        sl[: pick.size] = np.asarray(slots, np.int64)[pick]
-        for r, p in enumerate(pick):
-            d = deps[p]
-            ix[r, : len(d)] = d
-        out.append(Bucket(slots=sl, idx=ix))
-    return out
+        if w >= counts.max(initial=0):
+            break
+    return GatherPlan(n_rows=n_rows, passes=passes, overflow=overflow)
 
 
 @dataclass
@@ -96,13 +119,13 @@ class DeviceSchedule:
     u_pad: int
     piv_rows: np.ndarray  # int32 [Lpad], D-row per triangle position (pad: zero row)
     tinv_bits: np.ndarray  # uint8 [nchunks, CB, CB] chunk-inverse bit matrices
-    tdeps: list[list[Bucket]]  # per chunk: buckets of earlier-position deps
+    tdeps: list[GatherPlan]  # per chunk: earlier-position deps (n_rows=CB)
     sel_rows: np.ndarray  # int32 [u_pad] D-rows of dense pivot rows (pad: zero row)
-    bsel: list[Bucket]  # binary sel-row deps into t1 (slots into zsel)
-    hd_slots: np.ndarray | None  # int32 [H] zsel slot per HDPC row (trash if unused)
-    mhd_bits: np.ndarray | None  # uint8 [8H, 8*Lpad] companion of Ahd[:, piv_cols]
-    vinv_bits: np.ndarray  # uint8 [8*u_pad, 8*u_pad]
-    ut: list[Bucket]  # triangle-row deps into x_u (slots = positions)
+    bsel: GatherPlan  # binary sel-row deps into t1 (n_rows=u_pad)
+    hd_onehot: np.ndarray | None  # uint8 [u_pad, H_pad] placement of HDPC rows
+    mhd: np.ndarray | None  # uint8 [H_pad, Lpad]: Ahd[:, piv_cols], zero-padded rows
+    vinv: np.ndarray  # uint8 [u_pad, u_pad] inverse of the Schur pivot block
+    ut: GatherPlan  # triangle-row deps into x_u (n_rows=Lpad)
     out_sel: np.ndarray  # int32 [L] into concat(x_active[Lpad], x_u[u_pad])
 
     @property
@@ -114,7 +137,7 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
     P = st.P
     L, i, u, M = P.L, st.i, st.u, st.M
     Lpad = -(-L // CB) * CB
-    u_pad = _quant(max(u, 1))
+    u_pad = max(32, _quant(max(u, 1)))  # >= 32: int8 sublane-tile floor
     M_pad = _pad_rows(M + 1)
     zero_row = M_pad - 1  # executor guarantees D[M_pad-1] == 0
 
@@ -151,8 +174,7 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
             for c in below:
                 Tinv[r] ^= Tinv[c]
         tinv_bits[q] = Tinv
-        # trash slot CB: the executor's per-chunk accumulator has one extra row
-        tdeps.append(_bucketize(np.arange(CB), ext_deps, sentinel=Lpad, trash_slot=CB))
+        tdeps.append(_gather_plan(CB, np.arange(CB), ext_deps, sentinel=Lpad))
 
     # --- zsel: dense pivot rows ---
     order_sel = st.order[i : i + u]
@@ -160,7 +182,6 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
     sel_rows[:u] = order_sel.astype(np.int32)
     b_slots, b_deps = [], []
     hd_slots = None
-    mhd_bits = None
     hd_sel = np.nonzero(order_sel >= st.NB)[0]
     for s in range(u):
         r = int(order_sel[s])
@@ -169,16 +190,18 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
             pos = st.pivpos_of_col[cols]
             b_slots.append(s)
             b_deps.append(np.sort(pos[pos >= 0]).astype(np.int64))
-    bsel = _bucketize(b_slots, b_deps, sentinel=Lpad, trash_slot=u_pad)
+    bsel = _gather_plan(u_pad, b_slots, b_deps, sentinel=Lpad)
+    mhd = None
+    hd_onehot = None
     if st.hdpc_used:
         Ahd = hdpc_full_rows(P)
-        Mhd = np.zeros((P.H, Lpad), np.uint8)
+        H_pad = 32  # Table 2 H is 10..16; pad to the int8 sublane-tile floor
+        mhd = np.zeros((H_pad, Lpad), np.uint8)
         if i:
-            Mhd[:, :i] = Ahd[:, st.piv_cols]
-        mhd_bits = companion_bits(Mhd)
-        hd_slots = np.full(P.H, u_pad, np.int32)  # trash by default
+            mhd[: P.H, :i] = Ahd[:, st.piv_cols]
+        hd_onehot = np.zeros((u_pad, H_pad), np.uint8)
         for s in hd_sel:
-            hd_slots[int(order_sel[s]) - st.NB] = s
+            hd_onehot[s, int(order_sel[s]) - st.NB] = 1
 
     # --- Vinv: inverse of the Schur pivot block, padded with identity ---
     V = np.eye(u_pad, dtype=np.uint8)
@@ -186,7 +209,6 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
         V[:u, :u] = st.U_schur[order_sel]
     Vinv = gf_inv_matrix(V)
     assert Vinv is not None  # solver succeeded => pivot block invertible
-    vinv_bits = companion_bits(Vinv)
 
     # --- U_t: triangle rows' original inactive-column entries ---
     t_slots, t_deps = [], []
@@ -197,7 +219,7 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
         if uc.size:
             t_slots.append(k)
             t_deps.append(np.sort(uc).astype(np.int64))
-    ut = _bucketize(t_slots, t_deps, sentinel=u_pad, trash_slot=Lpad)
+    ut = _gather_plan(Lpad, t_slots, t_deps, sentinel=u_pad, w_small=4)
 
     # --- output gather ---
     out_sel = np.zeros(L, np.int32)
@@ -207,8 +229,8 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
     return DeviceSchedule(
         L=L, M=M, M_pad=M_pad, i=i, u=u, CB=CB, Lpad=Lpad, u_pad=u_pad,
         piv_rows=piv_rows, tinv_bits=tinv_bits, tdeps=tdeps,
-        sel_rows=sel_rows, bsel=bsel, hd_slots=hd_slots, mhd_bits=mhd_bits,
-        vinv_bits=vinv_bits, ut=ut, out_sel=out_sel,
+        sel_rows=sel_rows, bsel=bsel, hd_onehot=hd_onehot, mhd=mhd,
+        vinv=Vinv, ut=ut, out_sel=out_sel,
     )
 
 
@@ -216,23 +238,25 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
 # NumPy executor: exact mirror of the device program, used as test oracle.
 # ---------------------------------------------------------------------------
 
-def _xor_reduce_gather(src_ext: np.ndarray, bucket: Bucket, out: np.ndarray) -> None:
-    g = src_ext[bucket.idx]  # [nr, w, t]
-    red = np.bitwise_xor.reduce(g, axis=1)
-    out[bucket.slots] ^= red
+def _apply_plan_np(src_ext: np.ndarray, plan: GatherPlan, base: np.ndarray) -> np.ndarray:
+    """base [n_rows, t] ^= plan applied to src_ext (sentinel row is zero)."""
+    out = base
+    for p in plan.passes:
+        out = out ^ np.bitwise_xor.reduce(src_ext[p], axis=1)
+    for idx, onehot in plan.overflow:
+        red = np.bitwise_xor.reduce(src_ext[idx], axis=1)  # [nb, t]
+        out = out ^ gf2_matmul_bytes(onehot, red)
+    return out
 
 
 def _trisolve_np(ds: DeviceSchedule, y: np.ndarray) -> np.ndarray:
     """y [Lpad, t] -> z = T^-1 y, z buffer [Lpad+1, t] (last row zero)."""
     t = y.shape[1]
     z = np.zeros((ds.Lpad + 1, t), np.uint8)
-    acc = np.zeros((ds.CB + 1, t), np.uint8)  # last row = trash slot
     for q in range(ds.nchunks):
         base = q * ds.CB
-        acc[: ds.CB] = y[base : base + ds.CB]
-        for b in ds.tdeps[q]:
-            _xor_reduce_gather(z, b, acc)
-        z[base : base + ds.CB] = gf2_matmul_bytes(ds.tinv_bits[q], acc[: ds.CB])
+        acc = _apply_plan_np(z, ds.tdeps[q], y[base : base + ds.CB])
+        z[base : base + ds.CB] = gf2_matmul_bytes(ds.tinv_bits[q], acc)
     return z
 
 
@@ -247,33 +271,17 @@ def replay_structured_numpy(D: np.ndarray, ds: DeviceSchedule) -> np.ndarray:
 
     z = _trisolve_np(ds, y)  # stage 1
 
-    zsel = np.zeros((ds.u_pad + 1, t), np.uint8)  # last row = trash
-    zsel[: ds.u_pad] = D[ds.sel_rows]
-    for b in ds.bsel:  # stage 2 sparse
-        _xor_reduce_gather(z, b, zsel)
-    if ds.mhd_bits is not None:  # stage 2 dense (HDPC)
-        hvals = _gf256_bits_apply_np(ds.mhd_bits, z[: ds.Lpad])
-        zext = np.zeros((ds.u_pad + 1, t), np.uint8)
-        zext[ds.hd_slots] = hvals  # trash slot absorbs unselected rows
-        zsel[: ds.u_pad] ^= zext[: ds.u_pad]
+    zsel = _apply_plan_np(z, ds.bsel, D[ds.sel_rows])  # stage 2 sparse
+    if ds.mhd is not None:  # stage 2 dense (HDPC)
+        hvals = gf256_matmul_bytes(ds.mhd, z[: ds.Lpad])
+        zsel = zsel ^ gf2_matmul_bytes(ds.hd_onehot, hvals)
 
-    xu = _gf256_bits_apply_np(ds.vinv_bits, zsel[: ds.u_pad])  # stage 3
+    xu = gf256_matmul_bytes(ds.vinv, zsel)  # stage 3
 
-    w = np.zeros((ds.Lpad + 1, t), np.uint8)  # last row = trash
-    w[: ds.Lpad] = y
     xu_ext = np.vstack([xu, np.zeros((1, t), np.uint8)])
-    for b in ds.ut:  # stage 4
-        _xor_reduce_gather(xu_ext, b, w)
+    w = _apply_plan_np(xu_ext, ds.ut, y)  # stage 4
 
-    xa = _trisolve_np(ds, w[: ds.Lpad])  # stage 5
+    xa = _trisolve_np(ds, w)  # stage 5
 
     allrows = np.vstack([xa[: ds.Lpad], xu])
     return allrows[ds.out_sel]  # stage 6
-
-
-def _gf256_bits_apply_np(Mbits: np.ndarray, X: np.ndarray) -> np.ndarray:
-    from nanorq_tpu.gf256.bitplane import pack_bits, unpack_bits
-
-    Xb = unpack_bits(X).astype(np.int32)
-    Ob = (Mbits.astype(np.int32) @ Xb) & 1
-    return pack_bits(Ob.astype(np.uint8))

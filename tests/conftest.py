@@ -7,7 +7,15 @@ how the driver dry-runs dryrun_multichip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend even when the environment points JAX at a TPU: the
+# suite validates numerics and sharding on an 8-device virtual CPU mesh.
+# (The env-var alone is not enough on hosts whose sitecustomize registers a
+# TPU plugin at interpreter start, so also flip the config knob.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
