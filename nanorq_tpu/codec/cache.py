@@ -18,7 +18,7 @@ import numpy as np
 
 from nanorq_tpu.precode.device_schedule import DeviceSchedule, compile_device
 from nanorq_tpu.precode.matrix import binary_rows
-from nanorq_tpu.precode.solver import _solve_core
+from nanorq_tpu.precode.solver import solve_state
 from nanorq_tpu.rfc.params import Params, params_init
 
 _enc_lock = Lock()
@@ -38,7 +38,7 @@ def encoder_schedule(Kp: int, CB: int = 256) -> DeviceSchedule:
         return ds
     P = params_init(Kp)
     assert P.Kp == Kp
-    st = _solve_core(P, binary_rows(P))
+    st = solve_state(P, binary_rows(P))
     if st is None:  # cannot happen for Table 2 K' values
         raise RuntimeError(f"encoder precode solve failed for K'={Kp}")
     ds = compile_device(st, CB=CB)
@@ -63,7 +63,7 @@ def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int = 256) 
         if key in _dec_cache:
             _dec_cache.move_to_end(key)
             return _dec_cache[key]
-    st = _solve_core(P, binary_rows(P, isis, overhead), overhead)
+    st = solve_state(P, binary_rows(P, isis, overhead), overhead)
     ds = None if st is None else compile_device(st, CB=CB)
     with _dec_lock:
         _dec_cache[key] = ds

@@ -1,0 +1,145 @@
+"""Native host runtime: C++ schedule solver with ctypes binding.
+
+Builds lazily (g++ -O3) into nanorq_tpu/native/_build/ and falls back to the
+pure-Python solver when no compiler is available.  The native path returns
+the same SolveState the Python solver produces (minus the op-stream oracle),
+so the device compiler is backend-agnostic.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "solver.cc")
+_BUILD = os.path.join(_HERE, "_build")
+_LIB = os.path.join(_BUILD, "libnanorq_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _LIB + ".tmp", _SRC,
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        return False
+    os.replace(_LIB + ".tmp", _LIB)
+    return True
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                if not _build():
+                    return None
+            lib = ctypes.CDLL(_LIB)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.nrq_solve.restype = ctypes.c_void_p
+            lib.nrq_solve.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, i32p, i32p, u8p,
+            ]
+            for name in ("nrq_status", "nrq_hdpc_used", "nrq_i", "nrq_u"):
+                getattr(lib, name).restype = ctypes.c_int32
+                getattr(lib, name).argtypes = [ctypes.c_void_p]
+            for name in ("nrq_piv_rows", "nrq_piv_cols", "nrq_u_cols", "nrq_order"):
+                getattr(lib, name).restype = i32p
+                getattr(lib, name).argtypes = [ctypes.c_void_p]
+            for name in ("nrq_uschur", "nrq_vinv"):
+                getattr(lib, name).restype = u8p
+                getattr(lib, name).argtypes = [ctypes.c_void_p]
+            lib.nrq_free.restype = None
+            lib.nrq_free.argtypes = [ctypes.c_void_p]
+            lib.nrq_tinv_chunks.restype = None
+            lib.nrq_tinv_chunks.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _as_i32(arr):
+    return np.ascontiguousarray(arr, dtype=np.int32)
+
+
+def solve_native(P, rows_cols, overhead: int = 0):
+    """Run the native solver; returns a SolveState or None (rank-deficient).
+
+    Raises RuntimeError if the native library is unavailable.
+    """
+    from nanorq_tpu.precode.matrix import hdpc_full_rows
+    from nanorq_tpu.precode.solver import SolveState, _BIG
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native solver unavailable")
+    NB = len(rows_cols)
+    lens = np.fromiter((len(rc) for rc in rows_cols), np.int64, NB)
+    row_ptr = np.zeros(NB + 1, np.int32)
+    np.cumsum(lens, out=row_ptr[1:])
+    row_cols = _as_i32(np.concatenate(rows_cols) if NB else np.zeros(0, np.int64))
+    hdpc = np.ascontiguousarray(hdpc_full_rows(P), dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    h = lib.nrq_solve(
+        NB, P.L, P.W, P.S, P.H,
+        row_ptr.ctypes.data_as(i32p), row_cols.ctypes.data_as(i32p),
+        hdpc.ctypes.data_as(u8p),
+    )
+    try:
+        if lib.nrq_status(h) != 0:
+            return None
+        i = lib.nrq_i(h)
+        u = lib.nrq_u(h)
+        M = NB + P.H
+
+        def grab_i32(fn, n):
+            return np.ctypeslib.as_array(fn(h), shape=(n,)).copy()
+
+        piv_rows = grab_i32(lib.nrq_piv_rows, i)
+        piv_cols = grab_i32(lib.nrq_piv_cols, i)
+        u_cols = grab_i32(lib.nrq_u_cols, u).astype(np.int64)
+        order_sel = grab_i32(lib.nrq_order, M).astype(np.int64)
+        uschur = np.ctypeslib.as_array(lib.nrq_uschur(h), shape=(u, u)).copy()
+        vinv = np.ctypeslib.as_array(lib.nrq_vinv(h), shape=(u, u)).copy()
+        hdpc_used = bool(lib.nrq_hdpc_used(h))
+    finally:
+        lib.nrq_free(h)
+
+    ucol_of = np.full(P.L, -1, np.int64)
+    ucol_of[u_cols] = np.arange(u)
+    pos_of_row = np.full(NB, _BIG, np.int64)
+    pos_of_row[piv_rows] = np.arange(i)
+    pivpos_of_col = np.full(P.L, -1, np.int64)
+    pivpos_of_col[piv_cols] = np.arange(i)
+
+    st = SolveState(
+        P=P, overhead=overhead, NB=NB, M=M, rows_cols=rows_cols,
+        piv_rows=piv_rows, piv_cols=piv_cols, u_cols=u_cols, order=order_sel,
+        pos_of_row=pos_of_row, pivpos_of_col=pivpos_of_col, ucol_of=ucol_of,
+        hdpc_used=hdpc_used, U_schur=None, ops=(),
+    )
+    st.uschur_sel = uschur  # [u, u] pre-extracted (device compiler shortcut)
+    st.vinv = vinv
+    return st

@@ -52,6 +52,33 @@ def _pad_rows(n: int) -> int:
     return max(8, _quant(n))
 
 
+def _invert_tri_chunks(T: np.ndarray) -> None:
+    """In-place GF(2) inversion of [n, CB, CB] unit-lower-triangular blocks:
+    Tinv[r] = e_r ^ XOR_{c<r, T[r,c]=1} Tinv[c].  Native when available."""
+    try:
+        from nanorq_tpu.native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    n, CB, _ = T.shape
+    if lib is not None:
+        import ctypes
+
+        Tc = np.ascontiguousarray(T)
+        lib.nrq_tinv_chunks(Tc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, CB)
+        T[:] = Tc
+        return
+    for q in range(n):
+        Tq = T[q]
+        inv = np.eye(CB, dtype=np.uint8)
+        for r in range(CB):
+            below = np.nonzero(Tq[r, :r])[0]
+            for c in below:
+                inv[r] ^= inv[c]
+        T[q] = inv
+
+
 @dataclass
 class GatherPlan:
     """Scatter-free sparse XOR-apply: out[r] ^= XOR of src[deps[r]].
@@ -75,32 +102,50 @@ class GatherPlan:
 def _gather_plan(n_rows, slots, deps, sentinel, w_small: int = 8) -> GatherPlan:
     """Build a GatherPlan from per-slot dep lists (slots index [0, n_rows))."""
     slots = np.asarray(slots, np.int64)
-    counts = np.fromiter((len(d) for d in deps), np.int64, len(deps))
+    lens = np.fromiter((len(d) for d in deps), np.int64, len(deps))
+    erows = np.repeat(slots, lens)
+    edeps = np.concatenate(deps) if len(deps) else np.zeros(0, np.int64)
+    return _gather_plan_flat(n_rows, erows, np.asarray(edeps, np.int64), sentinel, w_small)
+
+
+def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> GatherPlan:
+    """Vectorized GatherPlan construction from flat (row, dep) edge arrays."""
+    if erows.size == 0:
+        return GatherPlan(n_rows=n_rows, passes=[], overflow=[])
+    order = np.argsort(erows, kind="stable")
+    erows = erows[order]
+    edeps = edeps[order]
+    counts = np.bincount(erows, minlength=n_rows).astype(np.int64)
+    starts = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    colpos = np.arange(erows.size, dtype=np.int64) - starts[erows]
+    cmax = int(counts.max())
+
     passes: list[np.ndarray] = []
     overflow = []
-    small = np.nonzero((counts > 0) & (counts <= w_small))[0]
-    if small.size:
+    sel = counts[erows] <= w_small
+    if sel.any():
         p = np.full((n_rows, w_small), sentinel, np.int32)
-        for s in small:
-            d = deps[s]
-            p[slots[s], : len(d)] = d
+        p[erows[sel], colpos[sel]] = edeps[sel]
         passes.append(p)
-    big = np.nonzero(counts > w_small)[0]
     lo = w_small
-    for w in [x for x in _WIDTHS if x > w_small] + [int(counts.max(initial=0))]:
-        w = min(w, int(counts.max(initial=0)))
-        pick = big[(counts[big] > lo) & (counts[big] <= w)]
+    for w in [x for x in _WIDTHS if x > w_small] + [cmax]:
+        w = min(w, cmax)
+        if w <= lo:
+            break
+        pick = np.nonzero((counts > lo) & (counts <= w))[0]
         if pick.size:
             nb = _pad_rows(pick.size)
+            rmap = np.full(n_rows, -1, np.int64)
+            rmap[pick] = np.arange(pick.size)
+            m = rmap[erows] >= 0
             ix = np.full((nb, w), sentinel, np.int32)
+            ix[rmap[erows[m]], colpos[m]] = edeps[m]
             oh = np.zeros((n_rows, nb), np.uint8)
-            for r, s in enumerate(pick):
-                d = deps[s]
-                ix[r, : len(d)] = d
-                oh[slots[s], r] = 1
+            oh[pick, np.arange(pick.size)] = 1
             overflow.append((ix, oh))
         lo = w
-        if w >= counts.max(initial=0):
+        if w >= cmax:
             break
     return GatherPlan(n_rows=n_rows, passes=passes, overflow=overflow)
 
@@ -144,37 +189,33 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
     piv_rows = np.full(Lpad, zero_row, np.int32)
     piv_rows[:i] = st.piv_rows
 
-    # --- triangle: per-position deps at pivot columns with smaller position ---
-    kdeps: list[np.ndarray] = []
-    for k in range(i):
-        cols = st.rows_cols[int(st.piv_rows[k])]
-        pos = st.pivpos_of_col[cols]
-        kdeps.append(np.sort(pos[(pos >= 0) & (pos < k)]))
+    # --- triangle: per-position deps at pivot columns with smaller position.
+    # Built from flat edge arrays (the per-pivot Python loop was the
+    # compile-time hot spot at K' = 56403). ---
     nchunks = Lpad // CB
+    if i:
+        lens = np.fromiter((len(st.rows_cols[int(r)]) for r in st.piv_rows), np.int64, i)
+        cols_flat = np.concatenate([st.rows_cols[int(r)] for r in st.piv_rows]).astype(np.int64)
+        kk = np.repeat(np.arange(i, dtype=np.int64), lens)
+    else:
+        cols_flat = np.zeros(0, np.int64)
+        kk = np.zeros(0, np.int64)
+    pos = st.pivpos_of_col[cols_flat]
+    dm = (pos >= 0) & (pos < kk)
+    dep_k, dep_pos = kk[dm], pos[dm]
+    qq = dep_k // CB
+    inck = dep_pos >= qq * CB  # dep within the same chunk -> folded into Tinv
+
     tinv_bits = np.zeros((nchunks, CB, CB), np.uint8)
-    tdeps: list[list[Bucket]] = []
-    # z buffer layout: [Lpad + 1], index Lpad = zero sentinel
+    tinv_bits[:, np.arange(CB), np.arange(CB)] = 1
+    tinv_bits[qq[inck], dep_k[inck] % CB, dep_pos[inck] - qq[inck] * CB] = 1
+    _invert_tri_chunks(tinv_bits)
+
+    tdeps: list[GatherPlan] = []
+    ext = ~inck
     for q in range(nchunks):
-        base = q * CB
-        T = np.eye(CB, dtype=np.uint8)
-        ext_deps = []
-        for r in range(CB):
-            k = base + r
-            if k < i:
-                d = kdeps[k]
-                ext_deps.append(d[d < base].astype(np.int64))
-                ind = d[d >= base] - base
-                T[r, ind] = 1
-            else:
-                ext_deps.append(np.zeros(0, np.int64))
-        # invert unit-lower-triangular T over GF(2): row_k = e_k ^ xor(dep rows)
-        Tinv = np.eye(CB, dtype=np.uint8)
-        for r in range(CB):
-            below = np.nonzero(T[r, :r])[0]
-            for c in below:
-                Tinv[r] ^= Tinv[c]
-        tinv_bits[q] = Tinv
-        tdeps.append(_gather_plan(CB, np.arange(CB), ext_deps, sentinel=Lpad))
+        mm = ext & (qq == q)
+        tdeps.append(_gather_plan_flat(CB, dep_k[mm] % CB, dep_pos[mm], sentinel=Lpad))
 
     # --- zsel: dense pivot rows ---
     order_sel = st.order[i : i + u]
@@ -203,23 +244,20 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
         for s in hd_sel:
             hd_onehot[s, int(order_sel[s]) - st.NB] = 1
 
-    # --- Vinv: inverse of the Schur pivot block, padded with identity ---
-    V = np.eye(u_pad, dtype=np.uint8)
-    if u:
-        V[:u, :u] = st.U_schur[order_sel]
-    Vinv = gf_inv_matrix(V)
-    assert Vinv is not None  # solver succeeded => pivot block invertible
+    # --- Vinv: inverse of the Schur pivot block, padded with identity
+    # (identity padding commutes with block-diagonal inversion) ---
+    Vinv = np.eye(u_pad, dtype=np.uint8)
+    if getattr(st, "vinv", None) is not None:  # native solver pre-inverted
+        Vinv[:u, :u] = st.vinv
+    elif u:
+        inv = gf_inv_matrix(st.U_schur[order_sel])
+        assert inv is not None  # solver succeeded => pivot block invertible
+        Vinv[:u, :u] = inv
 
     # --- U_t: triangle rows' original inactive-column entries ---
-    t_slots, t_deps = [], []
-    for k in range(i):
-        cols = st.rows_cols[int(st.piv_rows[k])]
-        uc = st.ucol_of[cols]
-        uc = uc[uc >= 0]
-        if uc.size:
-            t_slots.append(k)
-            t_deps.append(np.sort(uc).astype(np.int64))
-    ut = _gather_plan(Lpad, t_slots, t_deps, sentinel=u_pad, w_small=4)
+    ucf = st.ucol_of[cols_flat]
+    um = ucf >= 0
+    ut = _gather_plan_flat(Lpad, kk[um], ucf[um], sentinel=u_pad, w_small=4)
 
     # --- output gather ---
     out_sel = np.zeros(L, np.int32)

@@ -366,6 +366,23 @@ def state_to_schedule(st: SolveState) -> Schedule:
     )
 
 
+def solve_state(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> SolveState | None:
+    """Index-solve via the native C++ solver when available, else Python.
+
+    The two produce equivalent (not identical) states — pivot choices may
+    differ, but any full-rank elimination yields the same intermediate
+    symbols, so replay output is bit-identical either way.
+    """
+    try:
+        from nanorq_tpu.native import native_available, solve_native
+
+        if native_available():
+            return solve_native(P, rows_cols, overhead)
+    except Exception:
+        pass
+    return _solve_core(P, rows_cols, overhead)
+
+
 def solve(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> Schedule | None:
     """Invert the precode system, returning the linear-op Schedule or None.
 
