@@ -74,11 +74,13 @@ def bench_K(K, T, blocks, iters, rng):
         def run(x):
             return jax.lax.fori_loop(0, n, body, x)
 
-        o = run(x0)
-        _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:4]  # compile+sync
+        def sync(o):  # fetch 4 bytes only: full fetches crawl through the tunnel
+            leaf = jax.tree.leaves(o)[0]
+            _ = np.asarray(leaf[0, :4] if leaf.ndim == 2 else leaf.ravel()[:4])
+
+        sync(run(x0))  # compile + warm
         t0 = time.time()
-        o = run(x0)
-        _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:4]
+        sync(run(x0))
         return max(1e-9, (time.time() - t0 - 0.035) / n)
 
     # --- encode: intermediate-symbol generation (replay), reference's timed
