@@ -246,18 +246,18 @@ def gf256_matmul_pallas(Mbits: jnp.ndarray, X: jnp.ndarray, kb: int, tw: int | N
 
 def _gather_kernel_factory(R, w):
     def kernel(idx_ref, src_ref, o_ref, scratch, sem):
-        # One shared DMA semaphore: completions accumulate, each wait
-        # consumes one copy's worth (the per-copy semaphore array would
-        # blow the tiny sflag space at R*w copies).
-        i = pl.program_id(0)
+        # idx arrives as an SMEM-blocked [R, w] tile (scalar-prefetch SMEM is
+        # capped at ~1 MB, so large index arrays must stream per block).  One
+        # shared DMA semaphore: completions accumulate, each wait consumes
+        # one copy's worth.
         j = pl.program_id(1)
         for r in range(R):
             for k in range(w):
-                row = idx_ref[i * R + r, k]
+                row = idx_ref[r, k]
                 pltpu.make_async_copy(src_ref.at[row, j], scratch.at[r, k], sem).start()
         for r in range(R):
             for k in range(w):
-                row = idx_ref[i * R + r, k]
+                row = idx_ref[r, k]
                 pltpu.make_async_copy(src_ref.at[row, j], scratch.at[r, k], sem).wait()
         acc = scratch[:, 0]
         for k in range(1, w):
@@ -278,24 +278,25 @@ def gather_xor_pallas(src: jnp.ndarray, idx: jnp.ndarray, R: int = 8, tw: int = 
     while tw >= 1024 and t % tw:
         tw -= 1024
     assert tw >= 1024 and t % tw == 0, f"payload width {t} needs a 1024-multiple tile"
-    R = min(R, n)
-    while n % R:
-        R //= 2
+    n_orig = n
+    if n % R:  # pad rows to the grid quantum (gathers of row 0, discarded)
+        pad = R - n % R
+        idx = jnp.concatenate([idx, jnp.zeros((pad, w), idx.dtype)], axis=0)
+        n += pad
     src4 = src.reshape(S, t // tw, tw // 128, 128)
     grid = (n // R, t // tw)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    out4 = pl.pallas_call(
+        _gather_kernel_factory(R, w),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((R, 1, tw // 128, 128), lambda i, j, idx_ref: (i, j, 0, 0)),
+        in_specs=[
+            pl.BlockSpec((R, w), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, 1, tw // 128, 128), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, t // tw, tw // 128, 128), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((R, w, tw // 128, 128), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    out4 = pl.pallas_call(
-        _gather_kernel_factory(R, w),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, t // tw, tw // 128, 128), jnp.uint8),
     )(idx, src4)
-    return out4.reshape(n, t)
+    return out4.reshape(n, t)[:n_orig]

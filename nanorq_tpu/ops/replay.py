@@ -29,7 +29,6 @@ from nanorq_tpu.gf256.bitplane import companion_bits
 from nanorq_tpu.ops import gfmat
 from nanorq_tpu.precode.device_schedule import DeviceSchedule, GatherPlan
 
-MHD_KB = 2048  # K-block width for the (large-k) HDPC companion matmul
 
 
 def default_backend() -> str:
@@ -54,7 +53,7 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
         if pallas:
             from nanorq_tpu.ops.pallas_kernels import companion_bits_blocked
 
-            mhd_bits = companion_bits_blocked(ds.mhd, min(MHD_KB, ds.Lpad))
+            mhd_bits = companion_bits_blocked(ds.mhd, ds.CB)  # CB always divides Lpad
         else:
             mhd_bits = companion_bits(ds.mhd)
     if pallas:
@@ -66,11 +65,17 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
     return {
         "pallas": pallas,
         "piv_rows": j(ds.piv_rows),
-        "tinv": j(ds.tinv_bits),
-        "tdeps": tuple(_plan_arrays(p) for p in ds.tdeps),
+        "tri": tuple(
+            {
+                "tinv": j(seg.tinv),
+                "tpass": j(seg.tpass),
+                "tov": tuple((j(ix), j(sel)) for ix, sel in seg.tov),
+            }
+            for seg in ds.tri  # segment q0 is implied by cumulative lengths
+        ),
         "sel_rows": j(ds.sel_rows),
         "bsel": _plan_arrays(ds.bsel),
-        "hd_onehot": None if ds.mhd is None else j(ds.hd_onehot),
+        "hd_sel": None if ds.mhd is None else j(ds.hd_sel),
         "mhd_bits": mhd_bits if ds.mhd is None else j(mhd_bits),
         "vinv_bits": j(vinv_bits),
         "ut": _plan_arrays(ds.ut),
@@ -110,27 +115,65 @@ def take_rows(pallas: bool, src: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(src, rows, axis=0)
 
 
+def _select_rows(pallas: bool, red: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+    """red_ext[sel] with sentinel -> zero row (width-1 gather placement)."""
+    red_ext = jnp.concatenate([red, jnp.zeros((1, red.shape[1]), jnp.uint8)], axis=0)
+    return _gather(pallas, red_ext, sel[:, None]) if (pallas and red.shape[1] % 1024 == 0) else jnp.take(red_ext, sel, axis=0)
+
+
 def _apply_plan(pallas: bool, src_ext: jnp.ndarray, plan, base: jnp.ndarray) -> jnp.ndarray:
     """base ^= XOR-gathers of src_ext per GatherPlan (row-aligned, no scatters)."""
     passes, overflow = plan
     out = base
     for p in passes:
         out = out ^ _gather(pallas, src_ext, p)
-    for idx, onehot in overflow:
+    for idx, sel in overflow:
         red = _gather(pallas, src_ext, idx)
-        out = out ^ _gf2mm(pallas, onehot, red)
+        out = out ^ _select_rows(pallas, red, sel)
     return out
 
 
+_SCAN_THRESHOLD = 12  # unroll short segments; scan longer ones
+
+
 def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
-    """y [Lpad, t] -> z [Lpad+1, t] = T^-1 y (last row zero sentinel)."""
-    nchunks, CB, _ = arr["tinv"].shape
+    """y [Lpad, t] -> z [Lpad+1, t] = T^-1 y (last row zero sentinel).
+
+    Triangle chunks run segment by segment; each segment's chunk loop is a
+    lax.scan over uniform per-chunk arrays (compile time O(#segments)).
+    """
+    Lpad = arr["piv_rows"].shape[0]
     t = y.shape[1]
-    z = jnp.zeros((nchunks * CB + 1, t), jnp.uint8)
-    for q in range(nchunks):
-        acc = _apply_plan(pallas, z, arr["tdeps"][q], y[q * CB : (q + 1) * CB])
-        zq = _gf2mm(pallas, arr["tinv"][q], acc)
-        z = z.at[q * CB : (q + 1) * CB].set(zq)
+    z = jnp.zeros((Lpad + 1, t), jnp.uint8)
+
+    q0 = 0
+    for seg in arr["tri"]:
+        nq, CB, _ = seg["tinv"].shape
+
+        def chunk_step(z, yq, tinv_q, tpass_q, tov_q, q):
+            acc = yq ^ _gather(pallas, z, tpass_q)
+            for ix, sel in tov_q:
+                acc = acc ^ _select_rows(pallas, _gather(pallas, z, ix), sel)
+            zq = _gf2mm(pallas, tinv_q, acc)
+            return jax.lax.dynamic_update_slice_in_dim(z, zq, q * CB, 0)
+
+        if nq <= _SCAN_THRESHOLD:
+            for qi in range(nq):
+                q = q0 + qi
+                tov_q = tuple((ix[qi], sel[qi]) for ix, sel in seg["tov"])
+                z = chunk_step(z, y[q * CB : (q + 1) * CB], seg["tinv"][qi], seg["tpass"][qi], tov_q, q)
+        else:
+
+            def body(z, xs, q0=q0, CB=CB):
+                qi, tinv_q, tpass_q, tov_flat = xs
+                q = q0 + qi
+                yq = jax.lax.dynamic_slice_in_dim(y, q * CB, CB, 0)
+                return chunk_step(z, yq, tinv_q, tpass_q, tov_flat, q), None
+
+            qs = jnp.arange(nq)
+            tov_xs = tuple((ix, sel) for ix, sel in seg["tov"])
+            z, _ = jax.lax.scan(body, z, (qs, seg["tinv"], seg["tpass"], tov_xs))
+        q0 += nq
     return z
 
 
@@ -153,9 +196,9 @@ def _replay_jit(arr: dict, D: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     # stage 2: zsel = y_sel ^ B_sel t1  (+ HDPC dense part)
     zsel = _apply_plan(pallas, z, arr["bsel"], take_rows(pallas, D, arr["sel_rows"]))
     if arr["mhd_bits"] is not None:
-        kb = min(MHD_KB, Lpad)
-        hvals = _gf256mm(pallas, arr["mhd_bits"], z[:Lpad], kb)  # [H_pad, t]
-        zsel = zsel ^ _gf2mm(pallas, arr["hd_onehot"], hvals)
+        CB = arr["tri"][0]["tinv"].shape[1]
+        hvals = _gf256mm(pallas, arr["mhd_bits"], z[:Lpad], CB)  # [H_pad, t]
+        zsel = zsel ^ _select_rows(pallas, hvals, arr["hd_sel"])
 
     # stage 3: x_u = Vinv zsel
     xu = _gf256mm(pallas, arr["vinv_bits"], zsel, u_pad)  # [u_pad, t]

@@ -92,7 +92,10 @@ class GatherPlan:
 
     n_rows: int
     passes: list[np.ndarray]  # int32 [n_rows, w_p], sentinel-padded
-    overflow: list[tuple[np.ndarray, np.ndarray]]  # (idx [nb, w], onehot [n_rows, nb])
+    # overflow width classes: (idx [nb, w], sel [n_rows]); each output row
+    # receives at most one overflow result, so placement is a width-1 gather
+    # (sel sentinel nb -> appended zero row), never a scatter or matmul
+    overflow: list[tuple[np.ndarray, np.ndarray]]
 
     @property
     def empty(self) -> bool:
@@ -141,13 +144,23 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> Gathe
             m = rmap[erows] >= 0
             ix = np.full((nb, w), sentinel, np.int32)
             ix[rmap[erows[m]], colpos[m]] = edeps[m]
-            oh = np.zeros((n_rows, nb), np.uint8)
-            oh[pick, np.arange(pick.size)] = 1
-            overflow.append((ix, oh))
+            sel = np.full(n_rows, nb, np.int32)  # sentinel: zero row of red_ext
+            sel[pick] = np.arange(pick.size)
+            overflow.append((ix, sel))
         lo = w
         if w >= cmax:
             break
     return GatherPlan(n_rows=n_rows, passes=passes, overflow=overflow)
+
+
+@dataclass
+class TriSegment:
+    """A run of triangle chunks sharing one uniform dep-shape profile."""
+
+    q0: int  # first chunk index
+    tinv: np.ndarray  # uint8 [nq, CB, CB] chunk inverses
+    tpass: np.ndarray  # int32 [nq, CB, WS] row-aligned small deps
+    tov: list  # [(idx [nq, R, W], sel [nq, CB])] overflow width classes
 
 
 @dataclass
@@ -163,11 +176,14 @@ class DeviceSchedule:
     Lpad: int  # ceil(L/CB)*CB: padded triangle size
     u_pad: int
     piv_rows: np.ndarray  # int32 [Lpad], D-row per triangle position (pad: zero row)
-    tinv_bits: np.ndarray  # uint8 [nchunks, CB, CB] chunk-inverse bit matrices
-    tdeps: list[GatherPlan]  # per chunk: earlier-position deps (n_rows=CB)
+    # triangle chunks grouped into segments of uniform per-chunk shape, each
+    # a lax.scan on device (compile time O(#segments), not O(L)).  Chunks
+    # with many wide rows (the LDPC-heavy peel tail) get their own segment
+    # with wider pass/overflow classes so clean chunks pay nothing for them.
+    tri: list  # [TriSegment]
     sel_rows: np.ndarray  # int32 [u_pad] D-rows of dense pivot rows (pad: zero row)
     bsel: GatherPlan  # binary sel-row deps into t1 (n_rows=u_pad)
-    hd_onehot: np.ndarray | None  # uint8 [u_pad, H_pad] placement of HDPC rows
+    hd_sel: np.ndarray | None  # int32 [u_pad] HDPC-row index per zsel row (sentinel H_pad)
     mhd: np.ndarray | None  # uint8 [H_pad, Lpad]: Ahd[:, piv_cols], zero-padded rows
     vinv: np.ndarray  # uint8 [u_pad, u_pad] inverse of the Schur pivot block
     ut: GatherPlan  # triangle-row deps into x_u (n_rows=Lpad)
@@ -211,11 +227,114 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
     tinv_bits[qq[inck], dep_k[inck] % CB, dep_pos[inck] - qq[inck] * CB] = 1
     _invert_tri_chunks(tinv_bits)
 
-    tdeps: list[GatherPlan] = []
+    # Earlier-chunk deps, grouped into chunk segments of uniform shape.  The
+    # peel tail (LDPC-heavy rows) concentrates wide rows in the last ~25% of
+    # chunks; giving those chunks their own wider pass keeps the clean
+    # majority of chunks from paying sentinel-gather traffic for them.
     ext = ~inck
-    for q in range(nchunks):
-        mm = ext & (qq == q)
-        tdeps.append(_gather_plan_flat(CB, dep_k[mm] % CB, dep_pos[mm], sentinel=Lpad))
+    erow = dep_k[ext] % CB
+    echunk = qq[ext]
+    edep = dep_pos[ext]
+    key = echunk * CB + erow
+    order_e = np.argsort(key, kind="stable")
+    key, erow_s, echunk_s, edep_s = key[order_e], erow[order_e], echunk[order_e], edep[order_e]
+    counts = np.bincount(key, minlength=nchunks * CB)
+    starts = np.zeros(nchunks * CB + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    colpos = np.arange(key.size, dtype=np.int64) - starts[key]
+
+    # Cost-optimal segmentation (DP): choose chunk ranges and a pass width
+    # per range minimizing modeled gather traffic (pass sentinel padding +
+    # overflow class traffic) plus a per-segment compile/launch penalty.
+    pc = counts.reshape(nchunks, CB)
+    wgrid = [4, 8, 16, 32, 64, 128, 256]
+    # per-chunk histogram over quantized width classes (class g = rows whose
+    # count falls in (wgrid[g-1], wgrid[g]])
+    edges = np.array([0] + wgrid, np.int64)
+    hist = np.stack([np.histogram(pc[q], bins=np.append(edges, 1 << 30))[0] for q in range(nchunks)])
+    # csum[g][b]-csum[g][a]: rows of class g in chunks [a,b)
+    csum = np.concatenate([np.zeros((1, hist.shape[1]), np.int64), np.cumsum(hist, 0)])
+
+    SEG_PENALTY = 2 * CB * 64  # modeled fixed cost of one more segment
+
+    def seg_cost(a: int, b: int) -> tuple[int, int]:
+        # model matches build_segment: full-coverage pass of width WS plus
+        # two overflow classes (WS,4WS], (4WS,inf) padded to the per-chunk
+        # max row count across the segment (the padding is the real cost)
+        rmax = hist[a:b].max(0)  # per-class max rows in any one chunk
+        wclass = np.array(wgrid + [wgrid[-1] * 2])  # width of class g
+        best, best_ws = None, wgrid[0]
+        for gi, WS in enumerate(wgrid):
+            cost = (b - a) * CB * WS
+            inA = (wclass[1:] > WS) & (wclass[1:] <= 4 * WS)
+            inB = wclass[1:] > 4 * WS
+            ra = int(rmax[1:][inA].sum())
+            rb = int(rmax[1:][inB].sum())
+            if ra:
+                cost += (b - a) * _pad_rows(ra) * 4 * WS
+            if rb:
+                wmax = int(wclass[1:][inB & (rmax[1:] > 0)].max(initial=0))
+                cost += (b - a) * _pad_rows(rb) * wmax
+            if best is None or cost < best:
+                best, best_ws = cost, WS
+        return best, best_ws
+
+    INF = float("inf")
+    dp = [INF] * (nchunks + 1)
+    back = [(-1, 4)] * (nchunks + 1)
+    dp[0] = 0.0
+    for b in range(1, nchunks + 1):
+        for a in range(max(0, b - 64), b):
+            c, ws = seg_cost(a, b)
+            v = dp[a] + c + SEG_PENALTY
+            if v < dp[b]:
+                dp[b] = v
+                back[b] = (a, ws)
+    merged = []
+    b = nchunks
+    while b > 0:
+        a, ws = back[b]
+        merged.append([a, b, ws])
+        b = a
+    merged.reverse()
+
+    def build_segment(q0: int, q1: int, WS: int) -> TriSegment | None:
+        nq = q1 - q0
+        if nq <= 0:
+            return None
+        in_seg = (echunk_s >= q0) & (echunk_s < q1)
+        ek, er, ec, ed = key[in_seg], erow_s[in_seg], echunk_s[in_seg] - q0, edep_s[in_seg]
+        cp = colpos[in_seg]
+        tpass = np.full((nq, CB, WS), Lpad, np.int32)
+        small = counts[ek] <= WS
+        tpass[ec[small], er[small], cp[small]] = ed[small]
+        tov = []
+        seg_keys = np.arange(q0 * CB, q1 * CB)
+        seg_counts = counts[seg_keys].reshape(nq, CB)
+        lo = WS
+        for hi in (4 * WS, 1 << 30):
+            sel_q, sel_r = np.nonzero((seg_counts > lo) & (seg_counts <= hi))
+            if sel_q.size:
+                per_chunk = np.bincount(sel_q, minlength=nq)
+                R = _pad_rows(int(per_chunk.max()))
+                kabs = (sel_q + q0) * CB + sel_r
+                W = _quant(int(counts[kabs].max()))
+                # bucket-row index within each chunk (sel_q sorted)
+                first = np.zeros(nq + 1, np.int64)
+                np.cumsum(per_chunk, out=first[1:])
+                bidx = np.arange(sel_q.size) - first[sel_q]
+                brow = np.full(nchunks * CB, -1, np.int64)
+                brow[kabs] = bidx
+                m = brow[ek] >= 0
+                ix = np.full((nq, R, W), Lpad, np.int32)
+                ix[ec[m], brow[ek[m]], cp[m]] = ed[m]
+                sel = np.full((nq, CB), R, np.int32)  # sentinel: zero row
+                sel[sel_q, sel_r] = bidx
+                tov.append((ix, sel))
+            lo = hi
+        return TriSegment(q0=q0, tinv=tinv_bits[q0:q1], tpass=tpass, tov=tov)
+
+    tri = [s for s in (build_segment(q0, q1, WS) for q0, q1, WS in merged) if s is not None]
 
     # --- zsel: dense pivot rows ---
     order_sel = st.order[i : i + u]
@@ -233,16 +352,16 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
             b_deps.append(np.sort(pos[pos >= 0]).astype(np.int64))
     bsel = _gather_plan(u_pad, b_slots, b_deps, sentinel=Lpad)
     mhd = None
-    hd_onehot = None
+    hd_sel_vec = None
     if st.hdpc_used:
         Ahd = hdpc_full_rows(P)
         H_pad = 32  # Table 2 H is 10..16; pad to the int8 sublane-tile floor
         mhd = np.zeros((H_pad, Lpad), np.uint8)
         if i:
             mhd[: P.H, :i] = Ahd[:, st.piv_cols]
-        hd_onehot = np.zeros((u_pad, H_pad), np.uint8)
+        hd_sel_vec = np.full(u_pad, H_pad, np.int32)
         for s in hd_sel:
-            hd_onehot[s, int(order_sel[s]) - st.NB] = 1
+            hd_sel_vec[s] = int(order_sel[s]) - st.NB
 
     # --- Vinv: inverse of the Schur pivot block, padded with identity
     # (identity padding commutes with block-diagonal inversion) ---
@@ -266,8 +385,8 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
 
     return DeviceSchedule(
         L=L, M=M, M_pad=M_pad, i=i, u=u, CB=CB, Lpad=Lpad, u_pad=u_pad,
-        piv_rows=piv_rows, tinv_bits=tinv_bits, tdeps=tdeps,
-        sel_rows=sel_rows, bsel=bsel, hd_onehot=hd_onehot, mhd=mhd,
+        piv_rows=piv_rows, tri=tri,
+        sel_rows=sel_rows, bsel=bsel, hd_sel=hd_sel_vec, mhd=mhd,
         vinv=Vinv, ut=ut, out_sel=out_sel,
     )
 
@@ -276,14 +395,19 @@ def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
 # NumPy executor: exact mirror of the device program, used as test oracle.
 # ---------------------------------------------------------------------------
 
+def _select_rows_np(red: np.ndarray, sel: np.ndarray) -> np.ndarray:
+    red_ext = np.vstack([red, np.zeros((1, red.shape[1]), np.uint8)])
+    return red_ext[sel]
+
+
 def _apply_plan_np(src_ext: np.ndarray, plan: GatherPlan, base: np.ndarray) -> np.ndarray:
     """base [n_rows, t] ^= plan applied to src_ext (sentinel row is zero)."""
     out = base
     for p in plan.passes:
         out = out ^ np.bitwise_xor.reduce(src_ext[p], axis=1)
-    for idx, onehot in plan.overflow:
+    for idx, sel in plan.overflow:
         red = np.bitwise_xor.reduce(src_ext[idx], axis=1)  # [nb, t]
-        out = out ^ gf2_matmul_bytes(onehot, red)
+        out = out ^ _select_rows_np(red, sel)
     return out
 
 
@@ -291,10 +415,14 @@ def _trisolve_np(ds: DeviceSchedule, y: np.ndarray) -> np.ndarray:
     """y [Lpad, t] -> z = T^-1 y, z buffer [Lpad+1, t] (last row zero)."""
     t = y.shape[1]
     z = np.zeros((ds.Lpad + 1, t), np.uint8)
-    for q in range(ds.nchunks):
-        base = q * ds.CB
-        acc = _apply_plan_np(z, ds.tdeps[q], y[base : base + ds.CB])
-        z[base : base + ds.CB] = gf2_matmul_bytes(ds.tinv_bits[q], acc)
+    for seg in ds.tri:
+        for qi in range(seg.tinv.shape[0]):
+            base = (seg.q0 + qi) * ds.CB
+            acc = y[base : base + ds.CB] ^ np.bitwise_xor.reduce(z[seg.tpass[qi]], axis=1)
+            for ix, sel in seg.tov:
+                red = np.bitwise_xor.reduce(z[ix[qi]], axis=1)
+                acc = acc ^ _select_rows_np(red, sel[qi])
+            z[base : base + ds.CB] = gf2_matmul_bytes(seg.tinv[qi], acc)
     return z
 
 
@@ -312,7 +440,7 @@ def replay_structured_numpy(D: np.ndarray, ds: DeviceSchedule) -> np.ndarray:
     zsel = _apply_plan_np(z, ds.bsel, D[ds.sel_rows])  # stage 2 sparse
     if ds.mhd is not None:  # stage 2 dense (HDPC)
         hvals = gf256_matmul_bytes(ds.mhd, z[: ds.Lpad])
-        zsel = zsel ^ gf2_matmul_bytes(ds.hd_onehot, hvals)
+        zsel = zsel ^ _select_rows_np(hvals, ds.hd_sel)
 
     xu = gf256_matmul_bytes(ds.vinv, zsel)  # stage 3
 
