@@ -1,0 +1,25 @@
+# Dev workflow targets (analog of the reference's Makefile test/bench/profile)
+
+PY ?= python
+
+.PHONY: test bench bench-full build-native clean-native lint roundtrip
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# headline benchmark (one JSON line on stdout; per-K detail on stderr)
+bench:
+	$(PY) bench.py --ks 1000 --iters 40
+
+bench-full:
+	$(PY) bench.py --full --iters 20
+
+build-native:
+	$(PY) -c "from nanorq_tpu.native import native_available; assert native_available(), 'native build failed'; print('native solver OK')"
+
+clean-native:
+	rm -rf nanorq_tpu/native/_build
+
+# end-to-end file round trip through the CLIs (reference `make test` analog)
+roundtrip:
+	$(PY) -m pytest tests/test_cli.py -q

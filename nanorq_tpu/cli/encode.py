@@ -32,21 +32,34 @@ def main(argv=None) -> int:
     with FileIO(args.filename) as io:
         filesize = io.size()
         enc = Encoder(filesize, args.packet_size, Al=8)
+        # object-level batched path: one device replay for all blocks, one
+        # LT combine per K group (codec/batch.py)
+        from nanorq_tpu.codec.batch import generate, load_object, repair_symbols, source_symbol
+
+        batch = load_object(enc, io)
+        generate(batch)
+        drops = []
+        for sbn in range(enc.num_blocks):
+            num_esi = enc.block_symbols(sbn)
+            kept = [e for e in range(num_esi) if rng.random() * 100.0 >= args.loss]
+            drops.append((kept, num_esi - len(kept)))
+        max_rep = max(d for _, d in drops) + args.overhead if drops else 0
+        rep = repair_symbols(batch, max_rep) if max_rep else {}
         with open(args.output, "wb") as oh:
             oh.write(struct.pack("<QI", enc.oti_common(), enc.oti_scheme_specific()))
-            for sbn in range(enc.num_blocks):
+            for b, sbn in enumerate(batch.sbns):
                 num_esi = enc.block_symbols(sbn)
-                kept = [e for e in range(num_esi) if rng.random() * 100.0 >= args.loss]
-                dropped = num_esi - len(kept)
-                repair = list(range(num_esi, num_esi + dropped + args.overhead))
-                payloads = enc.encode_batch(sbn, np.array(kept + repair), io)
-                for esi, payload in zip(kept + repair, payloads):
+                kept, dropped = drops[b]
+                for esi in kept:
                     oh.write(struct.pack("<I", make_tag(sbn, esi)))
-                    oh.write(payload.tobytes())
-                enc.cleanup(sbn)
+                    oh.write(source_symbol(batch, b, esi).tobytes())
+                n_rep = dropped + args.overhead
+                for ri in range(n_rep):
+                    oh.write(struct.pack("<I", make_tag(sbn, num_esi + ri)))
+                    oh.write(rep[b][ri].tobytes())
                 print(
                     f"block {sbn} is {num_esi} packets, dropped {dropped}, "
-                    f"created {len(repair)} repair",
+                    f"created {n_rep} repair",
                     file=sys.stdout,
                 )
     return 0

@@ -1,0 +1,95 @@
+"""Object-level batched encoding: every source block in one device batch.
+
+RaptorQ blocks of one object share the precode system (params derive from
+block 0's K, reference nanorq.c:289, and all blocks pad to the same K'), so
+the whole object encodes as ONE structured replay over a payload matrix
+[M_pad, Z*T] with blocks laid side by side, followed by grouped LT combines
+(long/short blocks differ in the repair ISI shift K'-K, so repair plans are
+built per K group).  This is the production streaming path; the per-block
+Encoder API remains for incremental use.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from nanorq_tpu.codec import cache as _cache
+from nanorq_tpu.codec.api import Encoder
+from nanorq_tpu.io.ioctx import IOContext
+
+
+@dataclass
+class ObjectBatch:
+    enc: Encoder
+    sbns: list[int]
+    Ks: np.ndarray  # per-block source symbol counts
+    D: np.ndarray  # [M_pad, Z*T] host payload matrix
+    C: object = None  # device intermediates [L, Z*T]
+    _repair: dict = field(default_factory=dict)  # (K, n_repair) -> [n, Zg*T]
+
+
+def load_object(enc: Encoder, io: IOContext, sbns=None) -> ObjectBatch:
+    """Read all source symbols of the given blocks into one payload matrix."""
+    sbns = list(range(enc.num_blocks)) if sbns is None else list(sbns)
+    T = enc.symbol_size
+    ds = _cache.encoder_schedule(enc.P.Kp)
+    D = np.zeros((ds.M_pad, len(sbns) * T), np.uint8)
+    Ks = np.zeros(len(sbns), np.int64)
+    for b, sbn in enumerate(sbns):
+        K = enc.block_symbols(sbn)
+        Ks[b] = K
+        for esi in range(K):
+            D[esi, b * T : (b + 1) * T] = enc._read_symbol(io, sbn, esi, K)
+    return ObjectBatch(enc=enc, sbns=sbns, Ks=Ks, D=D)
+
+
+def generate(batch: ObjectBatch, mesh=None):
+    """One structured replay for the whole object (optionally mesh-sharded)."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.ops.replay import device_arrays, replay_device
+
+    ds = _cache.encoder_schedule(batch.enc.P.Kp)
+    arr = device_arrays(ds)
+    Dj = jnp.asarray(batch.D)
+    if mesh is not None:
+        from nanorq_tpu.parallel.mesh import replay_sharded, shard_width
+
+        batch.C = replay_sharded(arr, shard_width(batch.D, mesh), mesh)
+    else:
+        batch.C = replay_device(arr, Dj)
+    return batch.C
+
+
+def source_symbol(batch: ObjectBatch, b: int, esi: int) -> np.ndarray:
+    T = batch.enc.symbol_size
+    return batch.D[esi, b * T : (b + 1) * T]
+
+
+def repair_symbols(batch: ObjectBatch, n_repair: int) -> dict[int, np.ndarray]:
+    """Repair payloads for every block: {batch index b: [n_repair, T]}.
+
+    One batched LT combine per distinct K group (the ISI shift K'-K differs
+    between long and short blocks).
+    """
+    import jax.numpy as jnp
+
+    from nanorq_tpu.ops.lt import lt_combine, lt_plan
+
+    if batch.C is None:
+        generate(batch)
+    enc, T = batch.enc, batch.enc.symbol_size
+    P = enc.P
+    out: dict[int, np.ndarray] = {}
+    for K in np.unique(batch.Ks):
+        members = np.nonzero(batch.Ks == K)[0]
+        key = (int(K), n_repair)
+        isis = (np.arange(K, K + n_repair) + (P.Kp - K)).astype(np.uint32)
+        plan = lt_plan(isis, P)
+        # gather the group's column bands, combine once
+        cols = np.concatenate([np.arange(b * T, (b + 1) * T) for b in members])
+        Cg = jnp.asarray(np.asarray(batch.C)[:, cols]) if len(members) != len(batch.sbns) else batch.C
+        sym = np.asarray(lt_combine(Cg, plan))[:n_repair]
+        for gi, b in enumerate(members):
+            out[int(b)] = sym[:, gi * T : (gi + 1) * T]
+    return out

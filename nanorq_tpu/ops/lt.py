@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nanorq_tpu.precode.device_schedule import _gather_plan
+
 from nanorq_tpu.rfc.params import Params
 from nanorq_tpu.rfc.tuples import lt_indices
 
@@ -38,14 +38,18 @@ class LTPlan:
 
 
 def lt_plan(isis: np.ndarray, P: Params, w_small: int = 12) -> LTPlan:
+    from nanorq_tpu.precode.device_schedule import _gather_plan_flat
     from nanorq_tpu.ops.replay import _plan_arrays
 
     isis = np.asarray(isis, dtype=np.uint32)
     n = isis.shape[0]
     n_pad = _pad_rows(n)
     idx, valid = lt_indices(isis, P)
-    deps = [idx[r][valid[r]].astype(np.int64) for r in range(n)]
-    gp = _gather_plan(n_pad, np.arange(n), deps, sentinel=P.L, w_small=w_small)
+    erows, ecols = np.nonzero(valid)
+    gp = _gather_plan_flat(
+        n_pad, erows.astype(np.int64), idx[erows, ecols].astype(np.int64),
+        sentinel=P.L, w_small=w_small,
+    )
     return LTPlan(n=n, n_pad=n_pad, L=P.L, plan=_plan_arrays(gp))
 
 

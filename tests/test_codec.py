@@ -40,6 +40,29 @@ def test_symbol_ranges_cover_object():
     assert seen.all()
 
 
+def test_symbol_ranges_subblock_interleaving():
+    """N>1 sub-blocking (decoder-side OTI accepts it): every byte of the
+    object is covered exactly once, and per-symbol dest offsets are disjoint
+    within the symbol (reference get_symbol_offset math, nanorq.c:114-128)."""
+    from nanorq_tpu.codec.partition import Partition, Scheme
+
+    F, T, Al, Z, N = 9_973, 256, 4, 3, 4
+    Kt = (F + T - 1) // T
+    s = Scheme(F=F, T=T, Al=Al, Z=Z, N=N, Kt=Kt,
+               src=Partition.make(Kt, Z), sub=Partition.make(T // Al, N))
+    seen = np.zeros(F, bool)
+    for sbn in range(s.blocks):
+        K = s.block_symbols(sbn)
+        for esi in range(K):
+            cols = np.zeros(T, bool)
+            for off, length, col in symbol_ranges(s, sbn, esi, K):
+                assert not seen[off : off + length].any()
+                seen[off : off + length] = True
+                assert not cols[col : col + length].any()
+                cols[col : col + length] = True
+    assert seen.all()
+
+
 def _roundtrip(size, T, loss, seed, Z=0, K=0, overhead=5):
     rng = np.random.default_rng(seed)
     pyrng = np.random.default_rng(seed + 1)
