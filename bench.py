@@ -49,7 +49,7 @@ def bench_K(K, T, blocks, iters, rng):
     from nanorq_tpu.ops.lt import lt_combine, lt_plan
     from nanorq_tpu.ops.replay import _replay_jit, device_arrays
     from nanorq_tpu.precode.matrix import binary_rows
-    from nanorq_tpu.precode.solver import _solve_core
+    from nanorq_tpu.precode.solver import solve_state
     from nanorq_tpu.rfc.params import params_init
 
     P = params_init(K)
@@ -58,7 +58,7 @@ def bench_K(K, T, blocks, iters, rng):
 
     # host solve latency (the reference's fresh-encode extra cost)
     t0 = time.time()
-    st = _solve_core(P, binary_rows(P))
+    st = solve_state(P, binary_rows(P))
     solve_ms = 1e3 * (time.time() - t0)
     ds = encoder_schedule(P.Kp)
     arr = device_arrays(ds)
@@ -93,7 +93,7 @@ def bench_K(K, T, blocks, iters, rng):
     def enc_full(i, Dc):
         C = _replay_jit(a, Dc, pall)
         s = lt_combine(C, plan_all)
-        return Dc.at[: plan_all.n_pad].set(s)
+        return Dc.at[:K].set(s[:K])
 
     encfull_per = timed_loop(enc_full, Dj, iters)
 
@@ -124,8 +124,9 @@ def bench_K(K, T, blocks, iters, rng):
         C = _replay_jit(ad, Dc, pd)
         if plan_gaps is not None:
             s = lt_combine(C, plan_gaps)
-            return Dc.at[: plan_gaps.n_pad].set(s)
-        return Dc.at[: P.L].set(C)
+            ng = min(plan_gaps.n_pad, gaps.size)
+            return Dc.at[:ng].set(s[:ng])
+        return Dc.at[: min(P.L, int(Dc.shape[0]) - 1)].set(C[: min(P.L, int(Dc.shape[0]) - 1)])
 
     dec_per = timed_loop(dec_body, Ddj, iters)
 
@@ -144,7 +145,7 @@ def bench_K(K, T, blocks, iters, rng):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--T", type=int, default=1280)
-    ap.add_argument("--blocks", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ks", type=int, nargs="*", default=[1000])
     ap.add_argument("--full", action="store_true", help="reference K grid")

@@ -284,6 +284,9 @@ class Decoder(_CodecBase):
 
         ds = _cache.decoder_schedule(P, isis, overhead)
         if ds is None:
+            from nanorq_tpu.utils import stats
+
+            stats.count("repair_block_failed")
             return False  # rank deficient: caller feeds more symbols, retries
 
         D = np.zeros((ds.M_pad, self.scheme.T), np.uint8)

@@ -31,14 +31,18 @@ _DEC_CAPACITY = 128
 
 def encoder_schedule(Kp: int, CB: int = 256) -> DeviceSchedule:
     """Solved encoder-side schedule for K' (loss independent, cached)."""
+    from nanorq_tpu.utils import stats
+
     key = (Kp, CB)
     with _enc_lock:
         ds = _enc_cache.get(key)
     if ds is not None:
+        stats.count("enc_schedule_cache_hit")
         return ds
     P = params_init(Kp)
     assert P.Kp == Kp
-    st = solve_state(P, binary_rows(P))
+    with stats.timer("enc_solve"):
+        st = solve_state(P, binary_rows(P))
     if st is None:  # cannot happen for Table 2 K' values
         raise RuntimeError(f"encoder precode solve failed for K'={Kp}")
     ds = compile_device(st, CB=CB)
@@ -58,13 +62,19 @@ def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int = 256) 
     Returns None on rank deficiency (decode failure — feed more symbols).
     Failures are cached too: retrying the same pattern cannot succeed.
     """
+    from nanorq_tpu.utils import stats
+
     key = b"%d|%d|%d|" % (P.Kp, overhead, CB) + np.ascontiguousarray(isis, np.uint32).tobytes()
     with _dec_lock:
         if key in _dec_cache:
             _dec_cache.move_to_end(key)
+            stats.count("dec_schedule_cache_hit")
             return _dec_cache[key]
-    st = solve_state(P, binary_rows(P, isis, overhead), overhead)
+    with stats.timer("dec_solve"):
+        st = solve_state(P, binary_rows(P, isis, overhead), overhead)
     ds = None if st is None else compile_device(st, CB=CB)
+    if ds is None:
+        stats.count("decode_rank_deficient")
     with _dec_lock:
         _dec_cache[key] = ds
         while len(_dec_cache) > _DEC_CAPACITY:

@@ -75,14 +75,28 @@ def companion_bits_planar(M: np.ndarray) -> np.ndarray:
     return bits.transpose(3, 0, 2, 1).reshape(8 * m, 8 * k).astype(np.uint8)
 
 
+def gf256_mb(m: int, kb: int) -> int:
+    """Output-row tile for the blocked GF(256) matmul: bounds the in-VMEM
+    companion block (double-buffered) to ~2MB.  Must match between the host
+    layout builder and the kernel."""
+    mb = m
+    while mb > 32 and (8 * mb * 8 * kb > (2 << 20) or m % mb):
+        mb //= 2
+    return mb
+
+
 def companion_bits_blocked(M: np.ndarray, kb: int) -> np.ndarray:
-    """Plane-major companion bits per kb-wide K-block, concatenated along
-    columns — the layout the K-blocked gf256_matmul_pallas kernel consumes
-    (each grid step unpacks its own X block plane-major)."""
+    """Plane-major companion bits per (mb x kb) tile: tile (im, kk) occupies
+    rows [im*8mb, (im+1)*8mb) and cols [kk*8kb, (kk+1)*8kb), each internally
+    plane-major — the layout the tiled gf256_matmul_pallas kernel consumes."""
     m, k = M.shape
     assert k % kb == 0
-    blocks = [companion_bits_planar(M[:, i : i + kb]) for i in range(0, k, kb)]
-    return np.concatenate(blocks, axis=1)
+    mb = gf256_mb(m, kb)
+    rows = []
+    for i0 in range(0, m, mb):
+        blocks = [companion_bits_planar(M[i0 : i0 + mb, j0 : j0 + kb]) for j0 in range(0, k, kb)]
+        rows.append(np.concatenate(blocks, axis=1))
+    return np.concatenate(rows, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -171,8 +185,8 @@ def gf2_matmul_pallas(bits: jnp.ndarray, X: jnp.ndarray, tw: int | None = None, 
 # ---------------------------------------------------------------------------
 
 def _gf256_kernel(mb_ref, x_ref, o_ref, acc_ref):
-    nk = pl.num_programs(1)
-    kk = pl.program_id(1)
+    nk = pl.num_programs(2)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -207,14 +221,16 @@ def gf256_matmul_pallas(Mbits: jnp.ndarray, X: jnp.ndarray, kb: int, tw: int | N
     k, t = X.shape
     assert k8 == 8 * k and m8 % 8 == 0
     m = m8 // 8
+    # m-tiling bounds the in-VMEM companion block (double-buffered by the
+    # pipeline) and the int32 accumulator; must match companion_bits_blocked
+    mb = gf256_mb(m, kb)
     if tw is None:
-        # int32 acc [8m, tw] and int8 planes [8kb, tw] each capped at 4MB
-        cap = min((4 << 20) // (4 * m8), (4 << 20) // (8 * kb))
+        cap = min((4 << 20) // (4 * 8 * mb), (4 << 20) // (8 * kb))
         tw = _pick_tw(t, cap)
         assert tw is not None, f"payload width {t} not tileable"
     tw = min(tw, t)
-    assert t % tw == 0 and k % kb == 0
-    if kb == k:
+    assert t % tw == 0 and k % kb == 0 and m % mb == 0
+    if kb == k and mb == m:
         return pl.pallas_call(
             _gf256_kernel_1k,
             grid=(t // tw,),
@@ -225,17 +241,17 @@ def gf256_matmul_pallas(Mbits: jnp.ndarray, X: jnp.ndarray, kb: int, tw: int | N
             out_specs=pl.BlockSpec((m, tw), lambda j: (0, j)),
             out_shape=jax.ShapeDtypeStruct((m, t), jnp.uint8),
         )(Mbits, X)
-    grid = (t // tw, k // kb)
+    grid = (m // mb, t // tw, k // kb)
     return pl.pallas_call(
         _gf256_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m8, 8 * kb), lambda j, kk: (0, kk)),
-            pl.BlockSpec((kb, tw), lambda j, kk: (kk, j)),
+            pl.BlockSpec((8 * mb, 8 * kb), lambda im, j, kk: (im, kk)),
+            pl.BlockSpec((kb, tw), lambda im, j, kk: (kk, j)),
         ],
-        out_specs=pl.BlockSpec((m, tw), lambda j, kk: (0, j)),
+        out_specs=pl.BlockSpec((mb, tw), lambda im, j, kk: (im, j)),
         out_shape=jax.ShapeDtypeStruct((m, t), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((m8, tw), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8 * mb, tw), jnp.int32)],
     )(Mbits, X)
 
 

@@ -31,6 +31,9 @@ from nanorq_tpu.precode.device_schedule import DeviceSchedule, GatherPlan
 
 
 
+VINV_KB = 128  # K-block width for the Schur-inverse matmul (VMEM-bounded)
+
+
 def default_backend() -> str:
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
@@ -59,7 +62,7 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
     if pallas:
         from nanorq_tpu.ops.pallas_kernels import companion_bits_blocked
 
-        vinv_bits = companion_bits_blocked(ds.vinv, ds.u_pad)
+        vinv_bits = companion_bits_blocked(ds.vinv, min(ds.u_pad, VINV_KB))
     else:
         vinv_bits = companion_bits(ds.vinv)
     return {
@@ -201,7 +204,7 @@ def _replay_jit(arr: dict, D: jnp.ndarray, pallas: bool) -> jnp.ndarray:
         zsel = zsel ^ _select_rows(pallas, hvals, arr["hd_sel"])
 
     # stage 3: x_u = Vinv zsel
-    xu = _gf256mm(pallas, arr["vinv_bits"], zsel, u_pad)  # [u_pad, t]
+    xu = _gf256mm(pallas, arr["vinv_bits"], zsel, min(u_pad, VINV_KB))  # [u_pad, t]
 
     # stage 4: w = y ^ U_t x_u (original sparse entries)
     xu_ext = jnp.concatenate([xu, jnp.zeros((1, t), jnp.uint8)], axis=0)
