@@ -29,7 +29,7 @@ _dec_cache: OrderedDict[bytes, DeviceSchedule | None] = OrderedDict()
 _DEC_CAPACITY = 128
 
 
-def encoder_schedule(Kp: int, CB: int = 256) -> DeviceSchedule:
+def encoder_schedule(Kp: int, CB: int | None = None) -> DeviceSchedule:
     """Solved encoder-side schedule for K' (loss independent, cached)."""
     from nanorq_tpu.utils import stats
 
@@ -56,7 +56,7 @@ def clear_encoder_cache() -> None:
         _enc_cache.clear()
 
 
-def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int = 256) -> DeviceSchedule | None:
+def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None = None) -> DeviceSchedule | None:
     """Solve (or fetch) the schedule for a decode-side patched system.
 
     Returns None on rank deficiency (decode failure — feed more symbols).
@@ -64,7 +64,7 @@ def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int = 256) 
     """
     from nanorq_tpu.utils import stats
 
-    key = b"%d|%d|%d|" % (P.Kp, overhead, CB) + np.ascontiguousarray(isis, np.uint32).tobytes()
+    key = b"%d|%d|%d|" % (P.Kp, overhead, CB or 0) + np.ascontiguousarray(isis, np.uint32).tobytes()
     with _dec_lock:
         if key in _dec_cache:
             _dec_cache.move_to_end(key)

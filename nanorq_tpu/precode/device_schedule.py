@@ -194,9 +194,11 @@ class DeviceSchedule:
         return self.Lpad // self.CB
 
 
-def compile_device(st: SolveState, CB: int = 256) -> DeviceSchedule:
+def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     P = st.P
     L, i, u, M = P.L, st.i, st.u, st.M
+    if CB is None:  # measured: 256 best for small L, 512 for large (fewer launches)
+        CB = 256 if L <= 2048 else 512
     Lpad = -(-L // CB) * CB
     u_pad = max(32, _quant(max(u, 1)))  # >= 32: int8 sublane-tile floor
     M_pad = _pad_rows(M + 1)
