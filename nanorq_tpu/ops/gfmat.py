@@ -58,9 +58,3 @@ def xor_reduce_gather(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     g = jnp.take(src, idx, axis=0)  # [r, w, t]
     return jax.lax.reduce(g, np.uint8(0), jax.lax.bitwise_xor, (1,))
 
-
-def apply_bucket(src: jnp.ndarray, out: jnp.ndarray, slots: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """out[slots[r]] ^= XOR_c src[idx[r, c]].  Slots are unique (trash rows
-    may repeat but their reduction is all-sentinel zeros)."""
-    red = xor_reduce_gather(src, idx)
-    return out.at[slots].set(jnp.take(out, slots, axis=0) ^ red, mode="drop", unique_indices=False)

@@ -154,6 +154,9 @@ def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
         nq, CB, _ = seg["tinv"].shape
 
         def chunk_step(z, yq, tinv_q, tpass_q, tov_q, q):
+            # (a fused gather+matmul chunk kernel was tried and measured
+            # slower: in-kernel serial DMA issue loses to the pipelined
+            # gather kernel — see BENCH_NOTES.md)
             acc = yq ^ _gather(pallas, z, tpass_q)
             for ix, sel in tov_q:
                 acc = acc ^ _select_rows(pallas, _gather(pallas, z, ix), sel)
