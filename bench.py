@@ -149,11 +149,18 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ks", type=int, nargs="*", default=[1000])
     ap.add_argument("--full", action="store_true", help="reference K grid")
+    ap.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
     args = ap.parse_args()
     ks = [100, 500, 1000, 5000, 10000, 50000] if args.full else args.ks
 
     rng = np.random.default_rng(0)
     results = {}
+    prof = None
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+        prof.__enter__()
     for K in ks:
         blocks = max(1, min(args.blocks, (256 << 20) // (K * args.T)))
         iters = args.iters if K <= 5000 else max(4, args.iters // 4)
@@ -167,6 +174,10 @@ def main():
             f"agg {r['agg']:.2f} Gbps, solve {r['solve_ms']:.0f}ms/"
             f"{r['dec_solve_ms']:.0f}ms"
         )
+
+    if prof is not None:
+        prof.__exit__(None, None, None)
+        log(f"profiler trace written to {args.profile}")
 
     K0 = 1000 if 1000 in results else ks[0]
     base = REF_BASELINE.get(K0, {"precalc": 7900, "decode_oh5": 6600})
