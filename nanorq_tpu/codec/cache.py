@@ -56,6 +56,36 @@ def clear_encoder_cache() -> None:
         _enc_cache.clear()
 
 
+_rows_lock = Lock()
+_rows_cache: dict[int, list] = {}
+
+
+def _patched_rows(P: Params, isis: np.ndarray, overhead: int) -> list:
+    """Binary rows for a decode pattern, reusing the cached encoder-side rows.
+
+    Only the slots whose ISI differs from the systematic 0..K'-1 sequence
+    (the patched gaps + overhead rows) need fresh LT expansion — typically a
+    few percent of K', which dominates decode host-prep time at large K'.
+    """
+    from nanorq_tpu.precode.matrix import lt_row_cols
+
+    with _rows_lock:
+        base = _rows_cache.get(P.Kp)
+    if base is None:
+        base = binary_rows(P)
+        with _rows_lock:
+            _rows_cache[P.Kp] = base
+    rows = list(base[: P.Kp]) + [None] * overhead + list(base[P.Kp :])
+    isis = np.asarray(isis, np.uint32)
+    changed = np.nonzero(isis != np.arange(P.Kp + overhead, dtype=np.uint32))[0]
+    changed = np.union1d(changed, np.arange(P.Kp, P.Kp + overhead))
+    if changed.size:
+        fresh = lt_row_cols(isis[changed], P)
+        for slot, cols in zip(changed, fresh):
+            rows[int(slot)] = cols
+    return rows
+
+
 def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None = None) -> DeviceSchedule | None:
     """Solve (or fetch) the schedule for a decode-side patched system.
 
@@ -71,7 +101,7 @@ def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None 
             stats.count("dec_schedule_cache_hit")
             return _dec_cache[key]
     with stats.timer("dec_solve"):
-        st = solve_state(P, binary_rows(P, isis, overhead), overhead)
+        st = solve_state(P, _patched_rows(P, isis, overhead), overhead)
     ds = None if st is None else compile_device(st, CB=CB)
     if ds is None:
         stats.count("decode_rank_deficient")

@@ -17,10 +17,17 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__) || defined(__SSSE3__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 uint8_t GF_MUL[256][256];
 uint8_t OCT_INV[256];
+// nibble decomposition: a (x) b = NIB_LO[b][a & 15] ^ NIB_HI[b][a >> 4]
+alignas(32) uint8_t NIB_LO[256][16];
+alignas(32) uint8_t NIB_HI[256][16];
 
 struct TablesInit {
   TablesInit() {
@@ -39,6 +46,11 @@ struct TablesInit {
       for (int b = 1; b < 256; b++) GF_MUL[a][b] = exp_[log_[a] + log_[b]];
     OCT_INV[0] = 0;
     for (int a = 1; a < 256; a++) OCT_INV[a] = exp_[255 - log_[a]];
+    for (int b = 0; b < 256; b++)
+      for (int n = 0; n < 16; n++) {
+        NIB_LO[b][n] = GF_MUL[b][n];
+        NIB_HI[b][n] = GF_MUL[b][n << 4];
+      }
   }
 } tables_init_;
 
@@ -46,9 +58,36 @@ inline void row_xor(uint8_t* dst, const uint8_t* src, int n) {
   for (int j = 0; j < n; j++) dst[j] ^= src[j];
 }
 
+// dst ^= beta (x) src, PSHUFB nibble-LUT vectorized (the oblas oaxpy trick)
 inline void row_axpy(uint8_t* dst, const uint8_t* src, uint8_t beta, int n) {
+  int j = 0;
+#if defined(__AVX2__)
+  const __m256i lo_t = _mm256_broadcastsi128_si256(_mm_load_si128((const __m128i*)NIB_LO[beta]));
+  const __m256i hi_t = _mm256_broadcastsi128_si256(_mm_load_si128((const __m128i*)NIB_HI[beta]));
+  const __m256i mask = _mm256_set1_epi8(0x0f);
+  for (; j + 32 <= n; j += 32) {
+    __m256i x = _mm256_loadu_si256((const __m256i*)(src + j));
+    __m256i lo = _mm256_and_si256(x, mask);
+    __m256i hi = _mm256_and_si256(_mm256_srli_epi64(x, 4), mask);
+    __m256i r = _mm256_xor_si256(_mm256_shuffle_epi8(lo_t, lo), _mm256_shuffle_epi8(hi_t, hi));
+    __m256i d = _mm256_loadu_si256((const __m256i*)(dst + j));
+    _mm256_storeu_si256((__m256i*)(dst + j), _mm256_xor_si256(d, r));
+  }
+#elif defined(__SSSE3__)
+  const __m128i lo_t = _mm_load_si128((const __m128i*)NIB_LO[beta]);
+  const __m128i hi_t = _mm_load_si128((const __m128i*)NIB_HI[beta]);
+  const __m128i mask = _mm_set1_epi8(0x0f);
+  for (; j + 16 <= n; j += 16) {
+    __m128i x = _mm_loadu_si128((const __m128i*)(src + j));
+    __m128i lo = _mm_and_si128(x, mask);
+    __m128i hi = _mm_and_si128(_mm_srli_epi64(x, 4), mask);
+    __m128i r = _mm_xor_si128(_mm_shuffle_epi8(lo_t, lo), _mm_shuffle_epi8(hi_t, hi));
+    __m128i d = _mm_loadu_si128((const __m128i*)(dst + j));
+    _mm_storeu_si128((__m128i*)(dst + j), _mm_xor_si128(d, r));
+  }
+#endif
   const uint8_t* mul = GF_MUL[beta];
-  for (int j = 0; j < n; j++) dst[j] ^= mul[src[j]];
+  for (; j < n; j++) dst[j] ^= mul[src[j]];
 }
 
 struct Solver {
