@@ -284,11 +284,18 @@ def _gather_kernel_factory(R, w):
 
 
 @partial(jax.jit, static_argnames=("R", "tw"))
-def gather_xor_pallas(src: jnp.ndarray, idx: jnp.ndarray, R: int = 8, tw: int = 4096) -> jnp.ndarray:
+def gather_xor_pallas(src: jnp.ndarray, idx: jnp.ndarray, R: int = 16, tw: int = 8192) -> jnp.ndarray:
     """out[i] = XOR_k src[idx[i,k]].  src is viewed 4D [S, t/tw, tw/128, 128]
-    so each row-tile DMA slices only leading (untiled) dims."""
+    so each row-tile DMA slices only leading (untiled) dims.  Defaults from a
+    v5e sweep: R=16 rows/step, 8 KiB DMA tiles (~400 GB/s gathered)."""
     n, w = idx.shape
     S, t = src.shape
+    # scratch VMEM guard; R stays >= 8 (SMEM block sublane constraint),
+    # wide buckets shrink the DMA tile instead
+    while R > 8 and R * w * tw > (6 << 20):
+        R //= 2
+    while tw > 1024 and R * w * tw > (6 << 20):
+        tw //= 2
     # sublane dim tw/128 must stay a multiple of 8 for tile-aligned DMA slices
     tw = min(tw // 1024 * 1024, t)
     while tw >= 1024 and t % tw:
