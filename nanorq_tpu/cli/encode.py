@@ -11,7 +11,6 @@ import random
 import struct
 import sys
 
-import numpy as np
 
 from nanorq_tpu.codec.api import Encoder
 from nanorq_tpu.codec.oti import make_tag

@@ -36,7 +36,7 @@ import numpy as np
 from nanorq_tpu.gf256.bitplane import gf2_matmul_bytes, gf256_matmul_bytes
 from nanorq_tpu.gf256.numpy_ops import gf_inv_matrix
 from nanorq_tpu.precode.matrix import hdpc_full_rows
-from nanorq_tpu.precode.solver import SolveState, _BIG
+from nanorq_tpu.precode.solver import SolveState
 
 _WIDTHS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 

@@ -37,7 +37,7 @@ full-rank system yields the *same* intermediate symbols C regardless of pivot
 choices, so wire output stays bit-exact with RFC 6330 / the reference.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

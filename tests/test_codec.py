@@ -178,3 +178,27 @@ def test_precalculate_and_reset():
     enc.reset(0)
     p2 = enc.encode_batch(0, np.array([0, 1, enc.block_symbols(0)]), io_in)
     assert np.array_equal(p1, p2)
+
+
+def test_mmap_file_roundtrip_multiblock(tmp_path):
+    """BASELINE.json config: multi-block object (Z>1, Al=4) via mmap I/O."""
+    from nanorq_tpu.io.ioctx import MmapIO
+
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, 60_001, dtype=np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "out.bin"
+
+    with MmapIO(str(src)) as io_in:
+        enc = Encoder(io_in.size(), 512, Al=4, Z=3)
+        assert enc.num_blocks == 3 and enc.scheme.Al == 4
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        with MmapIO(str(out), write=True, create_size=len(data)) as io_out:
+            for sbn in range(enc.num_blocks):
+                K = enc.block_symbols(sbn)
+                esis = np.r_[np.arange(2, K), np.arange(K, K + 5)]  # drop 0,1
+                for esi, p in zip(esis, enc.encode_batch(sbn, esis, io_in)):
+                    dec.add_symbol(p.tobytes(), make_tag(sbn, int(esi)), io_out)
+                assert dec.repair_block(io_out, sbn)
+    assert out.read_bytes() == data
