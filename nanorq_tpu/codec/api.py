@@ -250,6 +250,15 @@ class Decoder(_CodecBase):
         # the repair-time D is rebuilt at the schedule's exact M_pad anyway
         return self.P.Kp + 1
 
+    def add_symbols(self, payloads: np.ndarray, tags, io: IOContext) -> list[int]:
+        """Batched ingestion: payloads [n, T] with per-symbol tags.
+
+        Returns the per-symbol status list (same codes as add_symbol); the
+        streaming analog of feeding a whole datagram burst at once.
+        """
+        payloads = np.asarray(payloads, np.uint8)
+        return [self.add_symbol(payloads[i], int(t), io) for i, t in enumerate(tags)]
+
     def num_missing(self, sbn: int) -> int:
         b = self._block(sbn)
         return b.K - sum(1 for e in b.received if e < b.K)
