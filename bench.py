@@ -114,11 +114,27 @@ def bench_K(K, T, blocks, iters, rng):
     arr_d = device_arrays(ds_dec)
     ad = dict(arr_d)
     pd = ad.pop("pallas")
-    n_gaps = max(8, gaps.size)
     plan_gaps = lt_plan(gaps.astype(np.uint32), P) if gaps.size else None
+
+    # true decode payload: received sources + real repair symbols in the gap
+    # and overhead slots (generated from the encoder intermediates)
+    C_enc = _replay_jit(a, Dj, pall)
+    plan_rep = lt_plan(rep_isis, P)
+    rep_payloads = np.asarray(lt_combine(C_enc, plan_rep))[: rep_isis.size]
     Dd = np.zeros((ds_dec.M_pad, t), np.uint8)
     Dd[:K] = D[:K]
+    Dd[gaps] = rep_payloads[: gaps.size]
+    Dd[P.Kp : P.Kp + ov] = rep_payloads[gaps.size :]
+    Dd[K : P.Kp] = 0  # padding symbols
     Ddj = jnp.asarray(Dd)
+
+    # byte-equality gate (reference benchmark.c:233-235): recovered gap
+    # symbols must equal the dropped source symbols
+    if gaps.size:
+        C_dec = _replay_jit(ad, Ddj, pd)
+        rec = np.asarray(lt_combine(C_dec, plan_gaps))[: gaps.size]
+        assert np.array_equal(rec, D[gaps]), "decode verification FAILED"
+        log(f"K={K}: decode byte-equality verified over {gaps.size} recovered symbols")
 
     def dec_body(i, Dc):
         C = _replay_jit(ad, Dc, pd)
