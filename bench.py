@@ -22,10 +22,16 @@ reference's same aggregate on its i5-8400 core (precalc 7.9 + decode-oh5
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat invocations (driver runs, CI)
+# skip the multi-minute first-compile of the replay programs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nanorq_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 REF_BASELINE = {  # Mb/s from BASELINE.md (graph.png)
     100: {"encode": 5450, "precalc": 10200, "decode": 5600, "decode_oh5": 5800},

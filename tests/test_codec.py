@@ -202,3 +202,18 @@ def test_mmap_file_roundtrip_multiblock(tmp_path):
                     dec.add_symbol(p.tobytes(), make_tag(sbn, int(esi)), io_out)
                 assert dec.repair_block(io_out, sbn)
     assert out.read_bytes() == data
+
+
+def test_k_at_table2_boundaries():
+    """K exactly at / adjacent to Table 2 K' values (padding edge cases)."""
+    from nanorq_tpu.rfc.params import params_init
+    from nanorq_tpu.rfc.tables import K_PADDED
+
+    for kp in (10, 12, 101, 114):
+        for K in (kp - 1, kp):
+            if K < 1:
+                continue
+            P = params_init(K)
+            assert P.Kp >= K
+            _roundtrip(K * 64, 64, 20.0, seed=K, Z=1)
+    assert params_init(int(K_PADDED[-1])).Kp == int(K_PADDED[-1])
