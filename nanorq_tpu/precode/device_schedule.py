@@ -197,8 +197,8 @@ class DeviceSchedule:
 def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     P = st.P
     L, i, u, M = P.L, st.i, st.u, st.M
-    if CB is None:  # measured: 256 best for small L, 512 for large (fewer launches)
-        CB = 256 if L <= 2048 else 512
+    if CB is None:  # measured on v5e: larger chunks win as L grows (launch-bound)
+        CB = 256 if L <= 2048 else (512 if L <= 16384 else 1024)
     Lpad = -(-L // CB) * CB
     u_pad = max(32, _quant(max(u, 1)))  # >= 32: int8 sublane-tile floor
     M_pad = _pad_rows(M + 1)

@@ -7,7 +7,7 @@ from nanorq_tpu.ops.replay import device_arrays, _replay_jit
 
 import sys
 K = int(sys.argv[1]); CBs = [int(x) for x in sys.argv[2:]]
-T, B, N = 1280, (32 if K <= 2000 else 16), 10
+T, B, N = 1280, (32 if K <= 2000 else (16 if K <= 20000 else 4)), 8
 P = params_init(K)
 st = solve_native(P, binary_rows(P))
 rng = np.random.default_rng(0)
