@@ -184,7 +184,10 @@ def main():
         prof = jax.profiler.trace(args.profile)
         prof.__enter__()
     for K in ks:
-        blocks = max(1, min(args.blocks, (256 << 20) // (K * args.T)))
+        cap = max(1, (256 << 20) // (K * args.T))
+        blocks = min(args.blocks, cap)
+        while blocks & (blocks - 1):  # power-of-two batches measured fastest
+            blocks -= 1
         iters = args.iters if K <= 5000 else max(4, args.iters // 4)
         r = bench_K(K, args.T, blocks, iters, rng)
         results[K] = r

@@ -375,11 +375,10 @@ def solve_state(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> So
     """
     try:
         from nanorq_tpu.native import native_available, solve_native
-
-        if native_available():
-            return solve_native(P, rows_cols, overhead)
-    except Exception:
-        pass
+    except (ImportError, OSError):  # no compiler / broken toolchain
+        return _solve_core(P, rows_cols, overhead)
+    if native_available():
+        return solve_native(P, rows_cols, overhead)
     return _solve_core(P, rows_cols, overhead)
 
 
