@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nanorq_tpu.gf256.bitplane import companion_bits
 from nanorq_tpu.ops import gfmat
@@ -46,9 +47,29 @@ def _plan_arrays(plan: GatherPlan) -> tuple:
     )
 
 
+def _put_bits(x: np.ndarray) -> jnp.ndarray:
+    """Upload a 0/1 uint8 matrix bit-packed (8x less host->device traffic;
+    the relay-tunneled TPU moves ~20 MB/s) and unpack on device."""
+    packed = np.packbits(np.ascontiguousarray(x, np.uint8), axis=-1, bitorder="little")
+    return _unpack_bits_jit(jnp.asarray(packed), x.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _unpack_bits_jit(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    bits = (p[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    return bits.reshape(*p.shape[:-1], p.shape[-1] * 8)[..., :n]
+
+
 def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
-    """Convert a DeviceSchedule into the jnp pytree the executor consumes."""
+    """Convert a DeviceSchedule into the jnp pytree the executor consumes.
+
+    Cached on the schedule object: repeat codec calls must not re-upload
+    (the index/bit tensors reach ~30 MB packed at K'=56403).
+    """
     backend = backend or default_backend()
+    cached = getattr(ds, "_dev_arrays", None)
+    if cached is not None and cached[0] == backend:
+        return cached[1]
     pallas = backend == "pallas"
     j = jnp.asarray
     mhd_bits = None
@@ -59,18 +80,20 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
             mhd_bits = companion_bits_blocked(ds.mhd, ds.CB)  # CB always divides Lpad
         else:
             mhd_bits = companion_bits(ds.mhd)
+        mhd_bits = _put_bits(mhd_bits)
     if pallas:
         from nanorq_tpu.ops.pallas_kernels import companion_bits_blocked
 
         vinv_bits = companion_bits_blocked(ds.vinv, min(ds.u_pad, VINV_KB))
     else:
         vinv_bits = companion_bits(ds.vinv)
-    return {
+    vinv_bits = _put_bits(vinv_bits)
+    arr = {
         "pallas": pallas,
         "piv_rows": j(ds.piv_rows),
         "tri": tuple(
             {
-                "tinv": j(seg.tinv),
+                "tinv": _put_bits(seg.tinv),
                 "tpass": j(seg.tpass),
                 "tov": tuple((j(ix), j(sel)) for ix, sel in seg.tov),
             }
@@ -79,11 +102,13 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
         "sel_rows": j(ds.sel_rows),
         "bsel": _plan_arrays(ds.bsel),
         "hd_sel": None if ds.mhd is None else j(ds.hd_sel),
-        "mhd_bits": mhd_bits if ds.mhd is None else j(mhd_bits),
-        "vinv_bits": j(vinv_bits),
+        "mhd_bits": mhd_bits,
+        "vinv_bits": vinv_bits,
         "ut": _plan_arrays(ds.ut),
         "out_sel": j(ds.out_sel),
     }
+    ds._dev_arrays = (backend, arr)
+    return arr
 
 
 def _gf2mm(pallas: bool, bits, X):
