@@ -49,15 +49,16 @@ def _plan_arrays(plan: GatherPlan) -> tuple:
 
 def _put_bits(x: np.ndarray) -> jnp.ndarray:
     """Upload a 0/1 uint8 matrix bit-packed (8x less host->device traffic;
-    the relay-tunneled TPU moves ~20 MB/s) and unpack on device."""
+    the relay-tunneled TPU moves ~20 MB/s).  Unpacked lazily *inside* the
+    replay program so no extra kernels are compiled."""
+    assert x.shape[-1] % 8 == 0
     packed = np.packbits(np.ascontiguousarray(x, np.uint8), axis=-1, bitorder="little")
-    return _unpack_bits_jit(jnp.asarray(packed), x.shape[-1])
+    return jnp.asarray(packed)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _unpack_bits_jit(p: jnp.ndarray, n: int) -> jnp.ndarray:
+def _unpack_bits(p: jnp.ndarray) -> jnp.ndarray:
     bits = (p[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
-    return bits.reshape(*p.shape[:-1], p.shape[-1] * 8)[..., :n]
+    return bits.reshape(*p.shape[:-1], p.shape[-1] * 8)
 
 
 def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
@@ -176,7 +177,8 @@ def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
 
     q0 = 0
     for seg in arr["tri"]:
-        nq, CB, _ = seg["tinv"].shape
+        tinv = _unpack_bits(seg["tinv"])
+        nq, CB, _ = tinv.shape
 
         def chunk_step(z, yq, tinv_q, tpass_q, tov_q, q):
             # (a fused gather+matmul chunk kernel was tried and measured
@@ -192,7 +194,7 @@ def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
             for qi in range(nq):
                 q = q0 + qi
                 tov_q = tuple((ix[qi], sel[qi]) for ix, sel in seg["tov"])
-                z = chunk_step(z, y[q * CB : (q + 1) * CB], seg["tinv"][qi], seg["tpass"][qi], tov_q, q)
+                z = chunk_step(z, y[q * CB : (q + 1) * CB], tinv[qi], seg["tpass"][qi], tov_q, q)
         else:
 
             def body(z, xs, q0=q0, CB=CB):
@@ -203,7 +205,7 @@ def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
 
             qs = jnp.arange(nq)
             tov_xs = tuple((ix, sel) for ix, sel in seg["tov"])
-            z, _ = jax.lax.scan(body, z, (qs, seg["tinv"], seg["tpass"], tov_xs))
+            z, _ = jax.lax.scan(body, z, (qs, tinv, seg["tpass"], tov_xs))
         q0 += nq
     return z
 
@@ -218,7 +220,7 @@ def replay_device(arr: dict, D: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("pallas",))
 def _replay_jit(arr: dict, D: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     Lpad = arr["piv_rows"].shape[0]
-    u_pad = arr["vinv_bits"].shape[0] // 8
+    u_pad = arr["vinv_bits"].shape[0] // 8  # packed [8*u_pad, u_pad]
     t = D.shape[1]
 
     y = take_rows(pallas, D, arr["piv_rows"])  # [Lpad, t]
@@ -227,12 +229,12 @@ def _replay_jit(arr: dict, D: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     # stage 2: zsel = y_sel ^ B_sel t1  (+ HDPC dense part)
     zsel = _apply_plan(pallas, z, arr["bsel"], take_rows(pallas, D, arr["sel_rows"]))
     if arr["mhd_bits"] is not None:
-        CB = arr["tri"][0]["tinv"].shape[1]
-        hvals = _gf256mm(pallas, arr["mhd_bits"], z[:Lpad], CB)  # [H_pad, t]
+        CB = arr["tri"][0]["tinv"].shape[1]  # packed tinv [nq, CB, CB/8]
+        hvals = _gf256mm(pallas, _unpack_bits(arr["mhd_bits"]), z[:Lpad], CB)  # [H_pad, t]
         zsel = zsel ^ _select_rows(pallas, hvals, arr["hd_sel"])
 
     # stage 3: x_u = Vinv zsel
-    xu = _gf256mm(pallas, arr["vinv_bits"], zsel, min(u_pad, VINV_KB))  # [u_pad, t]
+    xu = _gf256mm(pallas, _unpack_bits(arr["vinv_bits"]), zsel, min(u_pad, VINV_KB))  # [u_pad, t]
 
     # stage 4: w = y ^ U_t x_u (original sparse entries)
     xu_ext = jnp.concatenate([xu, jnp.zeros((1, t), jnp.uint8)], axis=0)
