@@ -85,9 +85,9 @@ class GatherPlan:
 
     Row-aligned full-coverage passes handle the common small-degree rows
     (result rows line up with the output, so application is elementwise XOR
-    — dynamic row-scatters cost ~30x an aligned XOR on TPU).  The few
-    wide rows go through quantized-width overflow gathers placed by a 0/1
-    one-hot matrix, i.e. a tiny GF(2) matmul instead of a scatter.
+    — dynamic row-scatters cost ~30x an aligned XOR on TPU).  The few wide
+    rows go through quantized-width overflow gathers placed by a width-1
+    gather (`sel`), since each output row receives at most one result.
     """
 
     n_rows: int
