@@ -37,7 +37,7 @@ class LTPlan:
     plan: tuple  # jnp (passes, overflow) as in ops.replay._apply_plan
 
 
-def lt_plan(isis: np.ndarray, P: Params, w_small: int = 12) -> LTPlan:
+def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8) -> LTPlan:
     from nanorq_tpu.precode.device_schedule import _gather_plan_flat
     from nanorq_tpu.ops.replay import _plan_arrays
 
