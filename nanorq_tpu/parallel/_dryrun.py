@@ -1,0 +1,108 @@
+"""Self-provisioned virtual-mesh dryrun (subprocess entry point).
+
+The driver calls ``__graft_entry__.dryrun_multichip(n)`` from a process
+whose JAX is already initialized against the real single-chip backend, so
+the n-device virtual CPU mesh must be provisioned in a fresh interpreter:
+this module is executed as ``python -m nanorq_tpu.parallel._dryrun <n>``
+with the env below set *before* JAX initializes (the same recipe as
+tests/conftest.py; the env var alone is not enough on hosts whose
+sitecustomize registers a TPU plugin at interpreter start, hence the config
+update too).
+
+The step it validates is the full sharded codec step (structured replay +
+LT combine) over a 1-D 'blocks' mesh — the SPMD mapping described in
+SURVEY.md §2/§7: independent source blocks data-parallel across devices,
+schedule tensors replicated, no collectives on the hot path.  The reference
+exposes this block independence at lib/nanorq.c:57 but never exploits it.
+"""
+
+import os
+import sys
+
+
+def _force_cpu_env(n_devices: int) -> dict:
+    """Env that makes a fresh interpreter come up as an n-device CPU platform."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
+def run(n_devices: int) -> None:
+    """Build + run the sharded codec step on an n-device mesh; assert bit-exact."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from nanorq_tpu.codec.cache import encoder_schedule
+    from nanorq_tpu.ops.lt import lt_plan
+    from nanorq_tpu.ops.replay import device_arrays
+    from nanorq_tpu.parallel.mesh import codec_step_sharded, make_mesh, shard_width
+    from nanorq_tpu.rfc.params import params_init
+
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"virtual CPU mesh provisioning failed: need {n_devices} devices, "
+            f"have {len(devs)} on backend {jax.default_backend()!r}"
+        )
+    mesh = make_mesh(devs[:n_devices])
+
+    K, T, per_dev = 100, 128, 2
+    blocks = n_devices * per_dev
+    P = params_init(K)
+    ds = encoder_schedule(P.Kp)
+    arr = device_arrays(ds)
+    plan = lt_plan(np.arange(P.Kp, dtype=np.uint32), P)
+    rng = np.random.default_rng(0)
+    D = np.zeros((ds.M_pad, blocks * T), np.uint8)
+    D[:K] = rng.integers(0, 256, (K, blocks * T), dtype=np.uint8)
+
+    Dsh = shard_width(D, mesh)
+    C, sym = codec_step_sharded(arr, plan, Dsh, mesh)
+    sym = np.asarray(sym)
+    # systematic check: the sharded step must reproduce the source symbols
+    assert np.array_equal(sym[:K], D[:K]), "sharded codec step lost bit-exactness"
+    print(
+        f"dryrun_multichip({n_devices}): OK — mesh {mesh.shape}, "
+        f"{sym.shape} symbols, bit-exact"
+    )
+
+
+def spawn(n_devices: int) -> None:
+    """Run the dryrun in a fresh interpreter with a forced n-device CPU platform."""
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = _force_cpu_env(n_devices)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "nanorq_tpu.parallel._dryrun", str(n_devices)],
+        env=env,
+        cwd=repo_root,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"dryrun_multichip subprocess failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+        )
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # Re-assert the env in case we were launched directly without _force_cpu_env.
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ.update(_force_cpu_env(n))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    run(n)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
@@ -36,7 +36,7 @@ def replay_sharded(arr: dict, D: jnp.ndarray, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(None, "blocks")),
         out_specs=P(None, "blocks"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)(a, D)
 
@@ -57,7 +57,7 @@ def lt_sharded(C: jnp.ndarray, plan, mesh: Mesh, backend: str | None = None):
         mesh=mesh,
         in_specs=(P(), P(None, "blocks")),
         out_specs=P(None, "blocks"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)(plan.plan, C)
 
@@ -80,7 +80,7 @@ def codec_step_sharded(arr: dict, plan, D: jnp.ndarray, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(), P(None, "blocks")),
         out_specs=(P(None, "blocks"), P(None, "blocks")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)(a, plan.plan, D)
 

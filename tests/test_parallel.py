@@ -36,3 +36,11 @@ def test_sharded_codec_step_matches_single_device():
     assert np.array_equal(np.asarray(sym_sh), np.asarray(sym_ref))
     # systematic check through the sharded path
     assert np.array_equal(np.asarray(sym_sh)[:K], D[:K])
+
+
+def test_dryrun_multichip_self_provisions():
+    """The driver gate: dryrun_multichip must provision its own virtual mesh
+    (fresh interpreter, forced-CPU env) regardless of this process's backend."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(2)
