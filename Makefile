@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test bench bench-full build-native clean-native lint roundtrip
+.PHONY: test bench bench-full build-native clean-native roundtrip
 
 test:
 	$(PY) -m pytest tests/ -q

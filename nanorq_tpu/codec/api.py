@@ -117,6 +117,29 @@ class _CodecBase:
         for off, length, col in symbol_ranges(self.scheme, sbn, esi, K):
             io.write_at(off, payload[col : col + length])
 
+    def _write_symbols_coalesced(self, io: IOContext, sbn: int, esis, K: int, payloads: np.ndarray) -> None:
+        """Write-through many symbols with adjacent byte ranges merged into
+        single io.write_at calls (in-order N=1 bursts collapse to one write)."""
+        segs = []  # (object offset, length, payload row, payload col)
+        for r, esi in enumerate(esis):
+            for off, length, col in symbol_ranges(self.scheme, sbn, int(esi), K):
+                segs.append((off, length, r, col))
+        segs.sort()
+        i = 0
+        while i < len(segs):
+            j = i
+            end = segs[i][0] + segs[i][1]
+            while j + 1 < len(segs) and segs[j + 1][0] == end:
+                j += 1
+                end = segs[j][0] + segs[j][1]
+            data = (
+                payloads[segs[i][2]][segs[i][3] : segs[i][3] + segs[i][1]]
+                if j == i
+                else np.concatenate([payloads[r][c : c + ln] for (_, ln, r, c) in segs[i : j + 1]])
+            )
+            io.write_at(segs[i][0], data)
+            i = j + 1
+
 
 class Encoder(_CodecBase):
     """Systematic RaptorQ encoder (reference nanorq_encoder_new_ex path)."""
@@ -134,8 +157,13 @@ class Encoder(_CodecBase):
             Al = 1
         T = max(symbol_size, Al)
         T -= T % Al
+        # grow T until the transfer fits the symbol budget; step by at least
+        # 2 so Al=1 cannot loop forever (reference nanorq.c:271 has that bug)
         while div_ceil(transfer_length, T) > Z_MAX * K_MAX:
-            T *= Al
+            T *= max(Al, 2)
+        if T > 1 << 16:
+            # the OTI common word stores T-1 in 16 bits (codec/oti.py)
+            raise ValueError(f"symbol size {T} exceeds the 65536-byte OTI limit")
         self.scheme = make_scheme(transfer_length, T, Al, K=K, Z=Z)
         self.P = params_init(max(1, self.scheme.block_symbols(0)))
 
@@ -253,11 +281,61 @@ class Decoder(_CodecBase):
     def add_symbols(self, payloads: np.ndarray, tags, io: IOContext) -> list[int]:
         """Batched ingestion: payloads [n, T] with per-symbol tags.
 
-        Returns the per-symbol status list (same codes as add_symbol); the
-        streaming analog of feeding a whole datagram burst at once.
+        Returns the per-symbol status list with add_symbol's exact in-order
+        semantics (first occurrence ADDED, later DUP; symbols arriving after
+        the block completes IGN), but vectorized: one payload-matrix write
+        per block and coalesced write-through I/O instead of n passes.
         """
         payloads = np.asarray(payloads, np.uint8)
-        return [self.add_symbol(payloads[i], int(t), io) for i, t in enumerate(tags)]
+        if payloads.ndim == 1:
+            payloads = payloads[None]
+        tags_arr = np.fromiter((int(t) for t in tags), np.int64, count=len(tags))
+        n = tags_arr.shape[0]
+        if payloads.shape[0] != n or payloads.shape[1] != self.scheme.T:
+            return [SYM_ERR] * n
+        sbns = (tags_arr >> 24) & 0xFF
+        esis = tags_arr & 0xFFFFFF
+        statuses = np.empty(n, np.int64)
+        for sbn in np.unique(sbns):
+            idxs = np.nonzero(sbns == sbn)[0]
+            if sbn >= self.num_blocks:
+                statuses[idxs] = SYM_ERR
+                continue
+            b = self._block(int(sbn))
+            e = esis[idxs]
+            st = np.full(e.shape, SYM_ADDED, np.int64)
+            st[e > self.max_esi] = SYM_ERR
+            ok = st == SYM_ADDED
+            # duplicates: against already-received and within-batch repeats
+            if b.received:
+                prev = np.fromiter(b.received, np.int64, len(b.received))
+                st[ok & np.isin(e, prev)] = SYM_DUP
+            first = np.zeros(e.shape, bool)
+            first[np.unique(e, return_index=True)[1]] = True
+            st[ok & ~first] = SYM_DUP
+            ok = st == SYM_ADDED
+            # in-order completion: a symbol is IGN if the block was already
+            # complete before it (new source symbols fill gaps as they land)
+            missing = b.K - sum(1 for r in b.received if r < b.K)
+            new_src = ok & (e < b.K)
+            filled_before = np.concatenate([[0], np.cumsum(new_src)[:-1]])
+            ign = (st != SYM_ERR) & (filled_before >= missing)
+            st[ign] = SYM_IGN
+            ok = st == SYM_ADDED
+            src = ok & (e < b.K)
+            if src.any():
+                if b.D is None:
+                    b.D = np.zeros((self._d_rows(), self.scheme.T), np.uint8)
+                pe = e[src]
+                pl = payloads[idxs[src]]
+                b.D[pe] = pl
+                self._write_symbols_coalesced(io, int(sbn), pe, b.K, pl)
+                b.written.update(int(x) for x in pe)
+            for i in np.nonzero(ok & ~src)[0]:
+                b.repair.append((int(e[i]), payloads[idxs[i]].copy()))
+            b.received.update(int(x) for x in e[ok])
+            statuses[idxs] = st
+        return statuses.tolist()
 
     def num_missing(self, sbn: int) -> int:
         b = self._block(sbn)

@@ -9,7 +9,7 @@ built per K group).  This is the production streaming path; the per-block
 Encoder API remains for incremental use.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -25,7 +25,6 @@ class ObjectBatch:
     Ks: np.ndarray  # per-block source symbol counts
     D: np.ndarray  # [M_pad, Z*T] host payload matrix
     C: object = None  # device intermediates [L, Z*T]
-    _repair: dict = field(default_factory=dict)  # (K, n_repair) -> [n, Zg*T]
 
 
 def load_object(enc: Encoder, io: IOContext, sbns=None) -> ObjectBatch:
@@ -69,27 +68,17 @@ def source_symbol(batch: ObjectBatch, b: int, esi: int) -> np.ndarray:
 def repair_symbols(batch: ObjectBatch, n_repair: int) -> dict[int, np.ndarray]:
     """Repair payloads for every block: {batch index b: [n_repair, T]}.
 
-    One batched LT combine per distinct K group (the ISI shift K'-K differs
-    between long and short blocks).
+    Repair ISIs are K-independent — arange(K, K+n) + (K'-K) == arange(K', K'+n)
+    for every block length — so one LT plan and one batched combine cover the
+    whole object.
     """
-    import jax.numpy as jnp
-
     from nanorq_tpu.ops.lt import lt_combine, lt_plan
 
     if batch.C is None:
         generate(batch)
-    enc, T = batch.enc, batch.enc.symbol_size
-    P = enc.P
-    out: dict[int, np.ndarray] = {}
-    for K in np.unique(batch.Ks):
-        members = np.nonzero(batch.Ks == K)[0]
-        key = (int(K), n_repair)
-        isis = (np.arange(K, K + n_repair) + (P.Kp - K)).astype(np.uint32)
-        plan = lt_plan(isis, P)
-        # gather the group's column bands, combine once
-        cols = np.concatenate([np.arange(b * T, (b + 1) * T) for b in members])
-        Cg = jnp.asarray(np.asarray(batch.C)[:, cols]) if len(members) != len(batch.sbns) else batch.C
-        sym = np.asarray(lt_combine(Cg, plan))[:n_repair]
-        for gi, b in enumerate(members):
-            out[int(b)] = sym[:, gi * T : (gi + 1) * T]
-    return out
+    T = batch.enc.symbol_size
+    P = batch.enc.P
+    isis = np.arange(P.Kp, P.Kp + n_repair, dtype=np.uint32)
+    plan = lt_plan(isis, P)
+    sym = np.asarray(lt_combine(batch.C, plan))[:n_repair]
+    return {b: sym[:, b * T : (b + 1) * T] for b in range(len(batch.sbns))}

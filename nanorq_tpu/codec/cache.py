@@ -125,11 +125,16 @@ def load_schedule(path: str) -> DeviceSchedule:
     return ds
 
 
-def warm_encoder_cache(Kp: int, cache_dir: str | None = None, CB: int = 256) -> DeviceSchedule:
-    """Disk-backed variant of encoder_schedule for cold-start latency."""
+def warm_encoder_cache(Kp: int, cache_dir: str | None = None, CB: int | None = None) -> DeviceSchedule:
+    """Disk-backed variant of encoder_schedule for cold-start latency.
+
+    CB defaults to None (adaptive chunk size) so warm-started processes share
+    cache entries — both in-memory key and compiled program — with the normal
+    encoder_schedule path.
+    """
     if cache_dir is None:
         return encoder_schedule(Kp, CB)
-    path = os.path.join(cache_dir, f"enc_{Kp}_{CB}.sched")
+    path = os.path.join(cache_dir, f"enc_{Kp}_{'auto' if CB is None else CB}.sched")
     key = (Kp, CB)
     with _enc_lock:
         if key in _enc_cache:

@@ -40,9 +40,11 @@ class IOContext:
 
 
 class MemoryIO(IOContext):
-    """Zero-copy view over a bytearray / NumPy uint8 buffer (io.c:139-157)."""
+    """Zero-copy view over a bytearray / NumPy uint8 buffer (io.c:139-157).
 
-    writable = True
+    ``writable`` reflects the wrapped buffer's mutability: ``bytes`` (and
+    read-only views/arrays) yield a read-only context whose write_at raises.
+    """
 
     def __init__(self, buf):
         if isinstance(buf, (bytes, bytearray, memoryview)):
@@ -51,6 +53,7 @@ class MemoryIO(IOContext):
             )
         else:
             self._buf = np.asarray(buf, dtype=np.uint8)
+        self.writable = bool(self._buf.flags.writeable)
 
     @property
     def buffer(self) -> np.ndarray:
@@ -63,6 +66,8 @@ class MemoryIO(IOContext):
         return self._buf[offset : offset + n]
 
     def write_at(self, offset: int, data) -> int:
+        if not self.writable:
+            raise IOError("MemoryIO wraps a read-only buffer (pass a bytearray or writable array to decode into)")
         d = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8)
         n = min(len(d), len(self._buf) - offset)
         self._buf[offset : offset + n] = d[:n]

@@ -7,6 +7,7 @@ so the device compiler is backend-agnostic.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,13 +18,19 @@ _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "solver.cc")
 _BUILD = os.path.join(_HERE, "_build")
 _LIB = os.path.join(_BUILD, "libnanorq_host.so")
+_STAMP = _LIB + ".srchash"  # content hash of the source the .so was built from
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(srchash: str) -> bool:
     os.makedirs(_BUILD, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
@@ -33,7 +40,20 @@ def _build() -> bool:
     if r.returncode != 0:
         return False
     os.replace(_LIB + ".tmp", _LIB)
+    # stamp written after a successful build: the rebuild decision is keyed
+    # on source *content*, never mtimes (git does not preserve mtimes, and a
+    # stale -march=native blob from another host could SIGILL)
+    with open(_STAMP + ".tmp", "w") as f:
+        f.write(srchash)
+    os.replace(_STAMP + ".tmp", _STAMP)
     return True
+
+
+def _stale() -> bool:
+    if not os.path.exists(_LIB) or not os.path.exists(_STAMP):
+        return True
+    with open(_STAMP) as f:
+        return f.read().strip() != _src_hash()
 
 
 def get_lib():
@@ -44,8 +64,8 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                if not _build():
+            if _stale():
+                if not _build(_src_hash()):
                     return None
             lib = ctypes.CDLL(_LIB)
             i32p = ctypes.POINTER(ctypes.c_int32)

@@ -8,8 +8,10 @@ plus one-hot-placed overflow gathers for the heavy tail — all wide VPU/DMA
 work with no sequential chain.
 """
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
+from threading import Lock
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +39,34 @@ class LTPlan:
     plan: tuple  # jnp (passes, overflow) as in ops.replay._apply_plan
 
 
+_plan_lock = Lock()
+_plan_cache: OrderedDict[bytes, LTPlan] = OrderedDict()
+_PLAN_CAPACITY = 128
+
+
 def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8) -> LTPlan:
+    """Build (or fetch) the neighbor-gather plan for a batch of ISIs.
+
+    Cached keyed on (K', w_small, isis): steady-state encoders emit the same
+    ESI window every call (reference decode_row has no per-call setup to
+    amortize, nanorq.c:184-204; our batched plan does, so it must be cached —
+    the plan also holds device-resident index tensors, so a hit skips both
+    host planning and re-upload).
+    """
     from nanorq_tpu.precode.device_schedule import _gather_plan_flat
     from nanorq_tpu.ops.replay import _plan_arrays
 
     isis = np.asarray(isis, dtype=np.uint32)
+    key = b"%d|%d|" % (P.Kp, w_small) + isis.tobytes()
+    with _plan_lock:
+        hit = _plan_cache.get(key)
+        if hit is not None:
+            _plan_cache.move_to_end(key)
+    if hit is not None:
+        from nanorq_tpu.utils import stats
+
+        stats.count("lt_plan_cache_hit")
+        return hit
     n = isis.shape[0]
     n_pad = _pad_rows(n)
     idx, valid = lt_indices(isis, P)
@@ -50,7 +75,12 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8) -> LTPlan:
         n_pad, erows.astype(np.int64), idx[erows, ecols].astype(np.int64),
         sentinel=P.L, w_small=w_small,
     )
-    return LTPlan(n=n, n_pad=n_pad, L=P.L, plan=_plan_arrays(gp))
+    plan = LTPlan(n=n, n_pad=n_pad, L=P.L, plan=_plan_arrays(gp))
+    with _plan_lock:
+        _plan_cache[key] = plan
+        while len(_plan_cache) > _PLAN_CAPACITY:
+            _plan_cache.popitem(last=False)
+    return plan
 
 
 @partial(jax.jit, static_argnames=("n_pad", "pallas"))

@@ -217,3 +217,77 @@ def test_k_at_table2_boundaries():
             assert P.Kp >= K
             _roundtrip(K * 64, 64, 20.0, seed=K, Z=1)
     assert params_init(int(K_PADDED[-1])).Kp == int(K_PADDED[-1])
+
+
+def test_add_symbols_batched_matches_loop():
+    """Vectorized add_symbols must reproduce add_symbol's in-order semantics:
+    dups (prior + within-batch), ERR tags, IGN after block completion."""
+    size, T = 6000, 256
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8, Z=1)
+    io_in = MemoryIO(data)
+    K = enc.block_symbols(0)
+    # stream: a few sources, a dup, an ERR tag, repairs, then everything
+    # (completing the block), then post-completion stragglers
+    esis = list(range(0, K)) + [0, 2, K, K + 1, K + 2, 5, K + 3]
+    payloads = enc.encode_batch(0, np.array([min(e, K + 5) for e in esis]), io_in)
+    tags = [make_tag(0, e) for e in esis]
+    tags[3] = make_tag(99, esis[3])  # bad sbn -> ERR (payload row unused)
+
+    dec_a = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    dec_b = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out_a, out_b = np.zeros(size, np.uint8), np.zeros(size, np.uint8)
+    st_loop = [dec_a.add_symbol(payloads[i], tags[i], MemoryIO(out_a)) for i in range(len(tags))]
+    st_batch = dec_b.add_symbols(payloads, tags, MemoryIO(out_b))
+    assert st_loop == st_batch
+    assert np.array_equal(out_a, out_b)
+    assert dec_a.num_missing(0) == dec_b.num_missing(0)
+    assert dec_a.num_repair(0) == dec_b.num_repair(0)
+
+
+def test_add_symbols_roundtrip_with_loss():
+    """Full decode driven through the batched ingest path only."""
+    size, T = 20_000, 256
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    out = np.zeros(size, np.uint8)
+    enc = Encoder(size, T, Al=8, Z=2)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    io_in, io_out = MemoryIO(data), MemoryIO(out)
+    for sbn in range(enc.num_blocks):
+        K = enc.block_symbols(sbn)
+        kept = [e for e in range(K) if rng.random() >= 0.1]
+        nrep = K - len(kept) + 4
+        esis = np.array(kept + list(range(K, K + nrep)))
+        payloads = enc.encode_batch(sbn, esis, io_in)
+        sts = dec.add_symbols(payloads, [make_tag(sbn, int(e)) for e in esis], io_out)
+        assert all(s in (SYM_ADDED, SYM_IGN) for s in sts)
+        assert dec.repair_block(io_out, sbn)
+    assert np.array_equal(out, data)
+
+
+def test_memoryio_readonly_bytes():
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    ro = MemoryIO(b"hello world")
+    assert not ro.writable
+    assert ro.read_at(0, 5) == b"hello"
+    with pytest.raises(IOError):
+        ro.write_at(0, b"x")
+    rw = MemoryIO(bytearray(b"hello"))
+    assert rw.writable
+    rw.write_at(0, b"J")
+    assert rw.read_at(0, 5) == b"Jello"
+
+
+def test_encoder_t_growth_terminates_and_validates():
+    from nanorq_tpu.rfc.tables import MAX_TRANSFER
+
+    # Al=1 used to loop forever (T *= 1); must terminate by doubling
+    enc = Encoder(MAX_TRANSFER, 64, Al=1)
+    assert enc.symbol_size <= 1 << 16
+    assert enc.oti_common() == pack_oti_common(MAX_TRANSFER, enc.symbol_size)
+    # growth path that skips past 65536 must raise, not emit a corrupt OTI
+    with pytest.raises(ValueError):
+        Encoder(MAX_TRANSFER, 48, Al=8)
