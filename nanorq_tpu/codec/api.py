@@ -144,7 +144,7 @@ class _CodecBase:
 class Encoder(_CodecBase):
     """Systematic RaptorQ encoder (reference nanorq_encoder_new_ex path)."""
 
-    def __init__(self, transfer_length: int, symbol_size: int, Al: int = 4, K: int = 0, Z: int = 0):
+    def __init__(self, transfer_length: int, symbol_size: int, Al: int = 4, K: int = 0, Z: int = 0, N: int = 1):
         super().__init__()
         if transfer_length > MAX_TRANSFER:
             raise ValueError("transfer too large")
@@ -164,7 +164,7 @@ class Encoder(_CodecBase):
         if T > 1 << 16:
             # the OTI common word stores T-1 in 16 bits (codec/oti.py)
             raise ValueError(f"symbol size {T} exceeds the 65536-byte OTI limit")
-        self.scheme = make_scheme(transfer_length, T, Al, K=K, Z=Z)
+        self.scheme = make_scheme(transfer_length, T, Al, K=K, Z=Z, N=N)
         self.P = params_init(max(1, self.scheme.block_symbols(0)))
 
     # --- schedule management ---

@@ -70,11 +70,14 @@ class Scheme:
         return self.src.count
 
 
-def make_scheme(F: int, T: int, Al: int, K: int = 0, Z: int = 0) -> Scheme:
+def make_scheme(F: int, T: int, Al: int, K: int = 0, Z: int = 0, N: int = 1) -> Scheme:
     """Encoder-side scheme derivation (gen_scheme_specific, nanorq.c:60-81).
 
     Exactly one of K (symbols per block) or Z (number of blocks) may be
-    given; 0 means derive.  Raises ValueError for infeasible layouts.
+    given; 0 means derive.  N > 1 enables sub-block interleaving (the
+    reference pins N=1 on encode, nanorq.c:78, but its decoder accepts N>1
+    from the OTI; we support both sides).  Raises ValueError for infeasible
+    layouts.
     """
     Kt = div_ceil(F, T)
     Kn = K
@@ -86,9 +89,10 @@ def make_scheme(F: int, T: int, Al: int, K: int = 0, Z: int = 0) -> Scheme:
                 Z += 1
         Kn = div_ceil(Kt, Z)
     Zb = div_ceil(Kt, Kn)
-    N = 1
     if Zb == 0 or Zb > Z_MAX or div_ceil(Kt, Zb) > K_MAX:
         raise ValueError(f"infeasible partition: F={F} T={T} K={K} Z={Z}")
+    if not (1 <= N <= max(1, T // Al)) or N > 1 << 16:
+        raise ValueError(f"infeasible sub-blocking: N={N} with T={T} Al={Al}")
     return Scheme(
         F=F, T=T, Al=Al, Z=Zb, N=N, Kt=Kt,
         src=Partition.make(Kt, Zb),
