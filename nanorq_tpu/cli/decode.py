@@ -28,15 +28,19 @@ def main(argv=None) -> int:
                 if dec.add_symbol(packet, tag, io) == SYM_ERR:
                     print(f"adding symbol {tag} failed.", file=sys.stderr)
                     return 1
-            ok = True
             for sbn in range(dec.num_blocks):
                 print(
                     f"block {sbn} is {dec.block_symbols(sbn)} packets, "
                     f"lost {dec.num_missing(sbn)}, have {dec.num_repair(sbn)} repair"
                 )
-                if not dec.repair_block(io, sbn):
-                    print(f"decode of sbn {sbn} failed.", file=sys.stderr)
-                    ok = False
+            # pipelined multi-block repair: host pattern-solves run in a
+            # thread pool, overlapped with device replays (api.repair_all)
+            ok = dec.repair_all(io)
+            if not ok:
+                for sbn in range(dec.num_blocks):
+                    if dec.num_missing(sbn):
+                        print(f"decode of sbn {sbn} failed.", file=sys.stderr)
+            for sbn in range(dec.num_blocks):
                 dec.cleanup(sbn)
     return 0 if ok else 1
 

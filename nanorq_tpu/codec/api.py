@@ -35,26 +35,33 @@ SYM_ERR = -1
 
 
 class _Block:
-    """Per-SBN working state (reference struct block_encoder, nanorq.c:40-47)."""
+    """Per-SBN working state (reference struct block_encoder, nanorq.c:40-47).
 
-    __slots__ = ("K", "D", "C", "loaded", "received", "repair", "written")
+    Source-ESI tracking is a bool array + count (the bitmask analog,
+    lib/bitmask.c) so batched ingest and gap queries are vectorized; repair
+    ESIs (sparse, unbounded) stay in a set.
+    """
+
+    __slots__ = ("K", "D", "C", "loaded", "got", "nsrc", "repair", "rep_seen")
 
     def __init__(self, K: int):
         self.K = K
         self.D: np.ndarray | None = None  # [M_pad, T] payload matrix
         self.C = None  # device intermediate symbols [L, T]
         self.loaded = False
-        self.received: set[int] = set()
+        self.got = np.zeros(K, bool)  # received source esis
+        self.nsrc = 0  # = got.sum(), tracked incrementally
         self.repair: list[tuple[int, np.ndarray]] = []
-        self.written: set[int] = set()
+        self.rep_seen: set[int] = set()
 
     def reset(self):
         self.D = None
         self.C = None
         self.loaded = False
-        self.received.clear()
+        self.got[:] = False
+        self.nsrc = 0
         self.repair.clear()
-        self.written.clear()
+        self.rep_seen.clear()
 
 
 class _CodecBase:
@@ -120,6 +127,20 @@ class _CodecBase:
     def _write_symbols_coalesced(self, io: IOContext, sbn: int, esis, K: int, payloads: np.ndarray) -> None:
         """Write-through many symbols with adjacent byte ranges merged into
         single io.write_at calls (in-order N=1 bursts collapse to one write)."""
+        if self.scheme.N == 1:  # vectorized fast path: one range per symbol
+            T = self.scheme.T
+            base = symbol_ranges(self.scheme, sbn, 0, K)[0][0]
+            es = np.asarray(esis, np.int64)
+            order = np.argsort(es, kind="stable")
+            es = es[order]
+            brk = np.nonzero(np.diff(es) != 1)[0] + 1
+            for s, e in zip(np.r_[0, brk], np.r_[brk, es.size]):
+                off = int(base + es[s] * T)
+                chunk = payloads[order[s:e]].reshape(-1)
+                length = min(chunk.size, max(0, self.scheme.F - off))
+                if length > 0:
+                    io.write_at(off, chunk[:length])
+            return
         segs = []  # (object offset, length, payload row, payload col)
         for r, esi in enumerate(esis):
             for off, length, col in symbol_ranges(self.scheme, sbn, int(esi), K):
@@ -254,23 +275,23 @@ class Decoder(_CodecBase):
         if sbn >= self.num_blocks or esi > self.max_esi:
             return SYM_ERR
         b = self._block(sbn)
-        if self.num_missing(sbn) == 0:
+        if b.nsrc == b.K:
             return SYM_IGN
-        if esi in b.received:
+        if b.got[esi] if esi < b.K else esi in b.rep_seen:
             return SYM_DUP
         payload = np.frombuffer(bytes(data), np.uint8).copy() if not isinstance(data, np.ndarray) else data.astype(np.uint8).copy()
         if len(payload) != self.scheme.T:
             return SYM_ERR
         if esi < b.K:
             if b.D is None:
-                ds_rows = self._d_rows()
-                b.D = np.zeros((ds_rows, self.scheme.T), np.uint8)
+                b.D = np.zeros((self._d_rows(), self.scheme.T), np.uint8)
             b.D[esi] = payload
             self._write_symbol(io, sbn, esi, b.K, payload)
-            b.written.add(esi)
+            b.got[esi] = True
+            b.nsrc += 1
         else:
             b.repair.append((esi, payload))
-        b.received.add(esi)
+            b.rep_seen.add(esi)
         return SYM_ADDED
 
     def _d_rows(self) -> int:
@@ -307,22 +328,25 @@ class Decoder(_CodecBase):
             st[e > self.max_esi] = SYM_ERR
             ok = st == SYM_ADDED
             # duplicates: against already-received and within-batch repeats
-            if b.received:
-                prev = np.fromiter(b.received, np.int64, len(b.received))
-                st[ok & np.isin(e, prev)] = SYM_DUP
+            is_src = e < b.K
+            dup = np.zeros(e.shape, bool)
+            dup[is_src] = b.got[e[is_src]]
+            if b.rep_seen:
+                rep_i = np.nonzero(ok & ~is_src)[0]
+                dup[rep_i] = np.fromiter((int(x) in b.rep_seen for x in e[rep_i]), bool, rep_i.size)
             first = np.zeros(e.shape, bool)
             first[np.unique(e, return_index=True)[1]] = True
-            st[ok & ~first] = SYM_DUP
+            st[ok & (dup | ~first)] = SYM_DUP
             ok = st == SYM_ADDED
             # in-order completion: a symbol is IGN if the block was already
             # complete before it (new source symbols fill gaps as they land)
-            missing = b.K - sum(1 for r in b.received if r < b.K)
-            new_src = ok & (e < b.K)
+            missing = b.K - b.nsrc
+            new_src = ok & is_src
             filled_before = np.concatenate([[0], np.cumsum(new_src)[:-1]])
             ign = (st != SYM_ERR) & (filled_before >= missing)
             st[ign] = SYM_IGN
             ok = st == SYM_ADDED
-            src = ok & (e < b.K)
+            src = ok & is_src
             if src.any():
                 if b.D is None:
                     b.D = np.zeros((self._d_rows(), self.scheme.T), np.uint8)
@@ -330,30 +354,27 @@ class Decoder(_CodecBase):
                 pl = payloads[idxs[src]]
                 b.D[pe] = pl
                 self._write_symbols_coalesced(io, int(sbn), pe, b.K, pl)
-                b.written.update(int(x) for x in pe)
+                b.got[pe] = True
+                b.nsrc += pe.size
             for i in np.nonzero(ok & ~src)[0]:
                 b.repair.append((int(e[i]), payloads[idxs[i]].copy()))
-            b.received.update(int(x) for x in e[ok])
+                b.rep_seen.add(int(e[i]))
             statuses[idxs] = st
         return statuses.tolist()
 
     def num_missing(self, sbn: int) -> int:
         b = self._block(sbn)
-        return b.K - sum(1 for e in b.received if e < b.K)
+        return b.K - b.nsrc
 
     def num_repair(self, sbn: int) -> int:
         return len(self._block(sbn).repair)
 
-    def repair_block(self, io: IOContext, sbn: int) -> bool:
-        """Recover the block's missing source symbols (nanorq_repair_block)."""
-        import jax.numpy as jnp
-
-        from nanorq_tpu.ops.lt import lt_combine, lt_plan
-        from nanorq_tpu.ops.replay import device_arrays, replay_device
-
+    def _repair_prepare(self, sbn: int):
+        """Patched-system inputs for one block: (gaps, isis, overhead) or a
+        terminal bool (True: nothing to repair, False: not enough repair)."""
         b = self._block(sbn)
         P = self.P
-        gaps = np.array(sorted(set(range(b.K)) - {e for e in b.received if e < b.K}), np.int64)
+        gaps = np.nonzero(~b.got)[0].astype(np.int64)
         if gaps.size == 0:
             return True
         if len(b.repair) < gaps.size:
@@ -368,18 +389,21 @@ class Decoder(_CodecBase):
         rep_isis = (rep_esis + pad).astype(np.uint32)
         isis[gaps] = rep_isis[: gaps.size]
         isis[P.Kp :] = rep_isis[gaps.size :]
+        return gaps, isis, overhead
 
-        ds = _cache.decoder_schedule(P, isis, overhead)
-        if ds is None:
-            from nanorq_tpu.utils import stats
+    def _repair_launch(self, sbn: int, gaps: np.ndarray, overhead: int, ds):
+        """Dispatch the block's device replay + gap LT combine (async)."""
+        import jax.numpy as jnp
 
-            stats.count("repair_block_failed")
-            return False  # rank deficient: caller feeds more symbols, retries
+        from nanorq_tpu.ops.lt import lt_combine, lt_plan
+        from nanorq_tpu.ops.replay import device_arrays, replay_device
 
+        b = self._block(sbn)
+        P = self.P
         D = np.zeros((ds.M_pad, self.scheme.T), np.uint8)
-        for esi in b.received:
-            if esi < b.K and b.D is not None:
-                D[esi] = b.D[esi]
+        if b.D is not None:
+            have = np.nonzero(b.got)[0]
+            D[have] = b.D[have]
         for slot, (_, payload) in zip(gaps, b.repair[: gaps.size]):
             D[slot] = payload
         for slot, (_, payload) in zip(range(P.Kp, P.Kp + overhead), b.repair[gaps.size :]):
@@ -387,8 +411,62 @@ class Decoder(_CodecBase):
 
         C = replay_device(device_arrays(ds), jnp.asarray(D))
         plan = lt_plan(gaps.astype(np.uint32), P)  # gap ESIs == ISIs (< K)
-        recovered = np.asarray(lt_combine(C, plan))[: gaps.size]
-        for g, payload in zip(gaps, recovered):
-            self._write_symbol(io, sbn, int(g), b.K, payload)
-            b.received.add(int(g))
+        return lt_combine(C, plan)  # lazy device value (async dispatch)
+
+    def _repair_finish(self, io: IOContext, sbn: int, gaps: np.ndarray, sym) -> bool:
+        b = self._block(sbn)
+        recovered = np.asarray(sym)[: gaps.size]
+        self._write_symbols_coalesced(io, sbn, gaps, b.K, recovered)
+        b.got[gaps] = True
+        b.nsrc += gaps.size
         return self.num_missing(sbn) == 0
+
+    def repair_block(self, io: IOContext, sbn: int) -> bool:
+        """Recover the block's missing source symbols (nanorq_repair_block)."""
+        prep = self._repair_prepare(sbn)
+        if isinstance(prep, bool):
+            return prep
+        gaps, isis, overhead = prep
+        ds = _cache.decoder_schedule(self.P, isis, overhead)
+        if ds is None:
+            from nanorq_tpu.utils import stats
+
+            stats.count("repair_block_failed")
+            return False  # rank deficient: caller feeds more symbols, retries
+        sym = self._repair_launch(sbn, gaps, overhead, ds)
+        return self._repair_finish(io, sbn, gaps, sym)
+
+    def repair_all(self, io: IOContext, max_workers: int | None = None) -> bool:
+        """Repair every block, pipelining the three stages (SURVEY.md §7
+        hard-part 5): per-pattern host solves run in a thread pool (the
+        native solver releases the GIL), device replays dispatch as each
+        solve lands (JAX async dispatch queues them), and result fetches +
+        write-through drain last — so solve(N+1) overlaps replay(N).
+
+        Returns True iff every block is fully recovered."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        work, ok = [], True
+        for sbn in range(self.num_blocks):
+            prep = self._repair_prepare(sbn)
+            if isinstance(prep, bool):
+                ok = ok and prep
+            else:
+                work.append((sbn, *prep))
+        if not work:
+            return ok
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futs = [(s, g, ex.submit(_cache.decoder_schedule, self.P, i, ov), ov) for s, g, i, ov in work]
+            launched = []
+            for sbn, gaps, fut, ov in futs:
+                ds = fut.result()
+                if ds is None:
+                    from nanorq_tpu.utils import stats
+
+                    stats.count("repair_block_failed")
+                    ok = False
+                    continue
+                launched.append((sbn, gaps, self._repair_launch(sbn, gaps, ov, ds)))
+        for sbn, gaps, sym in launched:
+            ok = self._repair_finish(io, sbn, gaps, sym) and ok
+        return ok

@@ -264,17 +264,17 @@ def _gather_kernel_factory(R, w):
     def kernel(idx_ref, src_ref, o_ref, scratch, sem):
         # idx arrives as an SMEM-blocked [R, w] tile (scalar-prefetch SMEM is
         # capped at ~1 MB, so large index arrays must stream per block).  One
-        # shared DMA semaphore: completions accumulate, each wait consumes
-        # one copy's worth.
+        # shared DMA semaphore: completions accumulate; all copies share one
+        # tile shape, so waiting R*w times on a single descriptor (no per-wait
+        # address recomputation) consumes exactly all completions.
         j = pl.program_id(1)
         for r in range(R):
             for k in range(w):
                 row = idx_ref[r, k]
                 pltpu.make_async_copy(src_ref.at[row, j], scratch.at[r, k], sem).start()
-        for r in range(R):
-            for k in range(w):
-                row = idx_ref[r, k]
-                pltpu.make_async_copy(src_ref.at[row, j], scratch.at[r, k], sem).wait()
+        waiter = pltpu.make_async_copy(src_ref.at[0, j], scratch.at[0, 0], sem)
+        for _ in range(R * w):
+            waiter.wait()
         acc = scratch[:, 0]
         for k in range(1, w):
             acc = acc ^ scratch[:, k]
@@ -284,18 +284,26 @@ def _gather_kernel_factory(R, w):
 
 
 @partial(jax.jit, static_argnames=("R", "tw"))
-def gather_xor_pallas(src: jnp.ndarray, idx: jnp.ndarray, R: int = 16, tw: int = 8192) -> jnp.ndarray:
+def gather_xor_pallas(src: jnp.ndarray, idx: jnp.ndarray, R: int = 8, tw: int | None = None) -> jnp.ndarray:
     """out[i] = XOR_k src[idx[i,k]].  src is viewed 4D [S, t/tw, tw/128, 128]
-    so each row-tile DMA slices only leading (untiled) dims.  Defaults from a
-    v5e sweep: R=16 rows/step, 8 KiB DMA tiles (~400 GB/s gathered)."""
+    so each row-tile DMA slices only leading (untiled) dims.
+
+    tw defaults to the full payload width (VMEM-capped): fewer, larger DMAs
+    measured strictly faster on v5e (846 GB/s vs 311 at 8 KiB tiles on a
+    VMEM-resident source).  Throughput is bimodal in the SOURCE size: XLA
+    promotes ANY-space sources up to ~105 MB into VMEM (hundreds of GB/s);
+    larger sources pay HBM random-row cost (~150 ns/DMA, 22-60 GB/s) — callers
+    control this via the batch width (see bench B tuning).
+    """
     n, w = idx.shape
     S, t = src.shape
-    # scratch VMEM guard; R stays >= 8 (SMEM block sublane constraint),
-    # wide buckets shrink the DMA tile instead
-    while R > 8 and R * w * tw > (6 << 20):
+    cap = 6 << 20  # scratch VMEM budget (scoped limit is 16 MB)
+    if tw is None:
+        tw = t
+    while R > 8 and R * w * tw > cap:
         R //= 2
-    while tw > 1024 and R * w * tw > (6 << 20):
-        tw //= 2
+    while tw > 1024 and R * w * tw > cap:
+        tw = -(-tw // 2048) * 1024
     # sublane dim tw/128 must stay a multiple of 8 for tile-aligned DMA slices
     tw = min(tw // 1024 * 1024, t)
     while tw >= 1024 and t % tw:
@@ -313,7 +321,7 @@ def gather_xor_pallas(src: jnp.ndarray, idx: jnp.ndarray, R: int = 16, tw: int =
         grid=grid,
         in_specs=[
             pl.BlockSpec((R, w), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((R, 1, tw // 128, 128), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, t // tw, tw // 128, 128), jnp.uint8),

@@ -291,3 +291,37 @@ def test_encoder_t_growth_terminates_and_validates():
     # growth path that skips past 65536 must raise, not emit a corrupt OTI
     with pytest.raises(ValueError):
         Encoder(MAX_TRANSFER, 48, Al=8)
+
+
+def test_repair_all_pipelined_matches_per_block():
+    """repair_all (thread-pooled solves + overlapped replays) must recover
+    exactly what sequential repair_block does, including mixed outcomes."""
+    size, T = 30_000, 256
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8, Z=4)
+    io_in = MemoryIO(data)
+    out_a, out_b = np.zeros(size, np.uint8), np.zeros(size, np.uint8)
+    dec_a = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    dec_b = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    for sbn in range(enc.num_blocks):
+        K = enc.block_symbols(sbn)
+        kept = [e for e in range(K) if rng.random() >= 0.15]
+        nrep = (K - len(kept) + 3) if sbn != 2 else 0  # block 2: unrecoverable
+        esis = np.array(kept + list(range(K, K + nrep)))
+        payloads = enc.encode_batch(sbn, esis, io_in)
+        tags = [make_tag(sbn, int(e)) for e in esis]
+        dec_a.add_symbols(payloads, tags, MemoryIO(out_a))
+        dec_b.add_symbols(payloads, tags, MemoryIO(out_b))
+    ok_a = all([dec_a.repair_block(MemoryIO(out_a), s) for s in range(enc.num_blocks)])
+    ok_b = dec_b.repair_all(MemoryIO(out_b))
+    assert ok_a == ok_b == False  # noqa: E712 — block 2 lacks repair
+    assert np.array_equal(out_a, out_b)
+    for s in range(enc.num_blocks):
+        assert dec_a.num_missing(s) == dec_b.num_missing(s)
+    # recoverable blocks' bytes are correct
+    for s in range(enc.num_blocks):
+        if dec_b.num_missing(s) == 0:
+            for esi in range(enc.block_symbols(s)):
+                for off, length, col in symbol_ranges(enc.scheme, s, esi, enc.block_symbols(s)):
+                    assert np.array_equal(out_b[off : off + length], data[off : off + length])
