@@ -2,10 +2,14 @@
 
 PY ?= python
 
-.PHONY: test bench bench-full build-native clean-native roundtrip
+.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# on-chip Pallas kernel parity (needs real TPU; main suite runs forced-CPU)
+test-tpu:
+	NANORQ_TEST_TPU=1 $(PY) -m pytest tests/test_pallas_tpu.py -q
 
 # headline benchmark (one JSON line on stdout; per-K detail on stderr)
 bench:

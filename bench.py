@@ -57,6 +57,20 @@ REF_BASELINE = {  # Mb/s from BASELINE.md (graph.png)
 # replay's z carry [Lpad, B*T] must stay under XLA's ~105 MB VMEM-promotion
 # bound or chunk gathers fall off the HBM random-row cliff
 DEFAULT_B = {100: 32, 500: 32, 1000: 32, 5000: 8, 10000: 4, 50000: 1}
+VMEM_CARRY_BYTES = 100 << 20  # keep Lpad * B * T under this
+
+
+def auto_blocks(K, T):
+    """B for K values outside the tuned grid: largest power of two keeping
+    the replay carry VMEM-resident, capped at 32."""
+    from nanorq_tpu.rfc.params import params_init
+
+    L = params_init(K).L
+    CB = 256 if L <= 2048 else (512 if L <= 16384 else 1024)
+    Lpad = -(-L // CB) * CB
+    b = max(1, VMEM_CARRY_BYTES // (Lpad * T))
+    b = min(32, 1 << (b.bit_length() - 1))
+    return b
 
 
 def log(msg):
@@ -237,7 +251,7 @@ def main():
         prof = jax.profiler.trace(args.profile)
         prof.__enter__()
     for K in ks:
-        blocks = args.blocks or DEFAULT_B.get(K, 8)
+        blocks = args.blocks or DEFAULT_B.get(K) or auto_blocks(K, args.T)
         cap = max(1, (256 << 20) // (K * args.T))
         blocks = min(blocks, cap)
         while blocks & (blocks - 1):  # power-of-two batches measured fastest

@@ -11,11 +11,14 @@ import os
 # suite validates numerics and sharding on an 8-device virtual CPU mesh.
 # (The env-var alone is not enough on hosts whose sitecustomize registers a
 # TPU plugin at interpreter start, so also flip the config knob.)
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# NANORQ_TEST_TPU=1 opts out, for the TPU-gated kernel parity tests
+# (tests/test_pallas_tpu.py; `make test-tpu`).
+if not os.environ.get("NANORQ_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,94 @@
+"""Pallas TPU kernel parity vs the XLA/NumPy formulations.
+
+The main suite runs forced-CPU (conftest), where these tests skip; run them
+on real hardware with `make test-tpu` (NANORQ_TEST_TPU=1 disables the CPU
+forcing).  Each kernel is compared bit-exactly against its gfmat/bitplane
+counterpart on random inputs, so on-chip kernel regressions are caught
+without a full benchmark run (ADVICE r1: the bench byte-equality gate was
+the only on-chip coverage).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _tpu():
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("NANORQ_TEST_TPU"),
+    reason="TPU kernel parity tests need NANORQ_TEST_TPU=1 and real hardware",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_tpu():
+    if not _tpu():
+        pytest.skip("no TPU backend available")
+
+
+def test_gf2_matmul_parity():
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.bitplane import gf2_matmul_bytes
+    from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
+
+    rng = np.random.default_rng(0)
+    for m, k, t in [(256, 256, 2048), (512, 512, 5120), (64, 1024, 1280 * 4)]:
+        X = rng.integers(0, 256, (k, t), dtype=np.uint8)
+        B = rng.integers(0, 2, (m, k), dtype=np.uint8)
+        got = np.asarray(gf2_matmul_pallas(jnp.asarray(B), jnp.asarray(X)))
+        assert np.array_equal(got, gf2_matmul_bytes(B, X)), (m, k, t)
+
+
+def test_gf256_matmul_parity():
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.numpy_ops import gf_matmul
+    from nanorq_tpu.ops.pallas_kernels import companion_bits_blocked, gf256_matmul_pallas
+
+    rng = np.random.default_rng(1)
+    for m, k, kb, t in [(16, 256, 256, 2048), (32, 1024, 128, 5120), (64, 512, 512, 1280 * 4)]:
+        X = rng.integers(0, 256, (k, t), dtype=np.uint8)
+        M = rng.integers(0, 256, (m, k), dtype=np.uint8)
+        Mb = companion_bits_blocked(M, kb)
+        got = np.asarray(gf256_matmul_pallas(jnp.asarray(Mb), jnp.asarray(X), kb=kb))
+        assert np.array_equal(got, gf_matmul(M, X)), (m, k, kb, t)
+
+
+def test_gather_xor_parity():
+    import jax.numpy as jnp
+
+    from nanorq_tpu.ops.pallas_kernels import gather_xor_pallas
+
+    rng = np.random.default_rng(2)
+    for S, n, w, t in [(1072, 1024, 16, 2048), (517, 203, 6, 5120), (4099, 512, 1, 1280 * 8)]:
+        src = rng.integers(0, 256, (S, t), dtype=np.uint8)
+        idx = rng.integers(0, S, (n, w)).astype(np.int32)
+        got = np.asarray(gather_xor_pallas(jnp.asarray(src), jnp.asarray(idx)))
+        assert np.array_equal(got, np.bitwise_xor.reduce(src[idx], axis=1)), (S, n, w, t)
+
+
+def test_full_replay_parity_on_chip():
+    """End-to-end structured replay on TPU vs the NumPy oracle executor."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.codec.cache import encoder_schedule
+    from nanorq_tpu.ops.replay import device_arrays, replay_device
+    from nanorq_tpu.precode.device_schedule import replay_structured_numpy
+    from nanorq_tpu.rfc.params import params_init
+
+    rng = np.random.default_rng(3)
+    K, T, B = 1000, 1280, 1
+    P = params_init(K)
+    ds = encoder_schedule(P.Kp)
+    D = np.zeros((ds.M_pad, B * T), np.uint8)
+    D[:K] = rng.integers(0, 256, (K, B * T), dtype=np.uint8)
+    got = np.asarray(replay_device(device_arrays(ds), jnp.asarray(D)))
+    want = replay_structured_numpy(D, ds)
+    assert np.array_equal(got, want)
