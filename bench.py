@@ -87,21 +87,17 @@ def bench_decode0(K, T, blocks, iters):
     F = K * T * blocks
     data = rng.integers(0, 256, F, dtype=np.uint8)
     enc = Encoder(F, T, Al=8, Z=blocks)
-    payloads = {}
-    tags = {}
-    for sbn in range(blocks):
-        Kb = enc.block_symbols(sbn)
-        payloads[sbn] = data.reshape(blocks * K, T)[sbn * K : sbn * K + Kb]
-        tags[sbn] = [make_tag(sbn, e) for e in range(Kb)]
+    payloads = data.reshape(blocks * K, T)
+    tags = [make_tag(sbn, e) for sbn in range(blocks) for e in range(K)]
     best = float("inf")
     for _ in range(max(2, iters // 4)):
         dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
         out = np.zeros(F, np.uint8)
         io = MemoryIO(out)
         t0 = time.time()
+        sts = dec.add_symbols(payloads, tags, io)  # whole burst, all blocks
+        assert sts[0] == SYM_ADDED
         for sbn in range(blocks):
-            sts = dec.add_symbols(payloads[sbn], tags[sbn], io)
-            assert sts[0] == SYM_ADDED
             assert dec.repair_block(io, sbn)
         best = min(best, time.time() - t0)
         assert np.array_equal(out, data), "decode0 verification FAILED"

@@ -310,7 +310,10 @@ class Decoder(_CodecBase):
         payloads = np.asarray(payloads, np.uint8)
         if payloads.ndim == 1:
             payloads = payloads[None]
-        tags_arr = np.fromiter((int(t) for t in tags), np.int64, count=len(tags))
+        try:
+            tags_arr = np.asarray(tags, dtype=np.int64)
+        except (TypeError, ValueError):
+            tags_arr = np.fromiter((int(t) for t in tags), np.int64, count=len(tags))
         n = tags_arr.shape[0]
         if payloads.shape[0] != n or payloads.shape[1] != self.scheme.T:
             return [SYM_ERR] * n

@@ -85,10 +85,10 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8) -> LTPlan:
 
 @partial(jax.jit, static_argnames=("n_pad", "pallas"))
 def _lt_apply(plan, C_ext: jnp.ndarray, n_pad: int, pallas: bool) -> jnp.ndarray:
-    from nanorq_tpu.ops.replay import _apply_plan
+    from nanorq_tpu.ops.replay import _LT_GP, _apply_plan
 
     t = C_ext.shape[1]
-    return _apply_plan(pallas, C_ext, plan, jnp.zeros((n_pad, t), jnp.uint8))
+    return _apply_plan(pallas, C_ext, plan, jnp.zeros((n_pad, t), jnp.uint8), gp=_LT_GP)
 
 
 def lt_combine(C: jnp.ndarray, plan: LTPlan, backend: str | None = None) -> jnp.ndarray:

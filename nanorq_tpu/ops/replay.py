@@ -129,11 +129,20 @@ def _gf256mm(pallas: bool, Mbits, X, kb):
     return gfmat.gf256_matmul_bits(Mbits, X)
 
 
-def _gather(pallas: bool, src, idx):
+# Gather profiles (v5e sweeps, tools/gather_v2_probe.py): replay chunk/stage
+# gathers are fastest with many rows per step and mid-size tiles; the LT
+# combine (n ~ S, high row reuse) is fastest with R=8 and full-row tiles.
+_REPLAY_GP = (32, 20480)
+_LT_GP = (8, None)
+
+
+def _gather(pallas: bool, src, idx, gp=_REPLAY_GP):
     if pallas and src.shape[1] % 1024 == 0:
         from nanorq_tpu.ops.pallas_kernels import gather_xor_pallas
 
-        return gather_xor_pallas(src, idx)
+        R, twmax = gp
+        tw = src.shape[1] if twmax is None else min(twmax, src.shape[1])
+        return gather_xor_pallas(src, idx, R=R, tw=tw)
     return gfmat.xor_reduce_gather(src, idx)
 
 
@@ -144,21 +153,21 @@ def take_rows(pallas: bool, src: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(src, rows, axis=0)
 
 
-def _select_rows(pallas: bool, red: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+def _select_rows(pallas: bool, red: jnp.ndarray, sel: jnp.ndarray, gp=_REPLAY_GP) -> jnp.ndarray:
     """red_ext[sel] with sentinel -> zero row (width-1 gather placement)."""
     red_ext = jnp.concatenate([red, jnp.zeros((1, red.shape[1]), jnp.uint8)], axis=0)
-    return _gather(pallas, red_ext, sel[:, None]) if (pallas and red.shape[1] % 1024 == 0) else jnp.take(red_ext, sel, axis=0)
+    return _gather(pallas, red_ext, sel[:, None], gp) if (pallas and red.shape[1] % 1024 == 0) else jnp.take(red_ext, sel, axis=0)
 
 
-def _apply_plan(pallas: bool, src_ext: jnp.ndarray, plan, base: jnp.ndarray) -> jnp.ndarray:
+def _apply_plan(pallas: bool, src_ext: jnp.ndarray, plan, base: jnp.ndarray, gp=_REPLAY_GP) -> jnp.ndarray:
     """base ^= XOR-gathers of src_ext per GatherPlan (row-aligned, no scatters)."""
     passes, overflow = plan
     out = base
     for p in passes:
-        out = out ^ _gather(pallas, src_ext, p)
+        out = out ^ _gather(pallas, src_ext, p, gp)
     for idx, sel in overflow:
-        red = _gather(pallas, src_ext, idx)
-        out = out ^ _select_rows(pallas, red, sel)
+        red = _gather(pallas, src_ext, idx, gp)
+        out = out ^ _select_rows(pallas, red, sel, gp)
     return out
 
 
