@@ -104,6 +104,92 @@ def bench_decode0(K, T, blocks, iters):
     return 8 * F / best / 1e9
 
 
+def bench_decode_pipe(K, T, nblocks, iters):
+    """Multi-block pipelined decode: nblocks blocks, DISTINCT loss patterns.
+
+    Measures SURVEY.md §7 hard-part 5 (decoder-side per-pattern solves must
+    not starve the device): repair_all's pipeline runs per-pattern host
+    solves in a thread pool (the native solver releases the GIL) while
+    device replays dispatch as each solve lands.  Timed region = solves +
+    schedule uploads + replay launches + device completion (4-byte sync per
+    block); payload upload, recovered-byte fetch and write-through are
+    excluded — the relay tunnel moves ~20 MB/s each way, a test-rig
+    artifact that would otherwise swamp the measurement (BENCH_NOTES.md).
+    The serial baseline runs the same work one block at a time, syncing
+    each block before the next solve starts.  Every iteration clears the
+    decoder schedule cache so all patterns pay real solves.
+    """
+    import jax.numpy as jnp
+
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+    from nanorq_tpu.precode.device_schedule import _pad_rows
+
+    rng = np.random.default_rng(7)
+    F = K * T * nblocks
+    data = rng.integers(0, 256, F, dtype=np.uint8)
+    payloads = data.reshape(nblocks * K, T)
+    enc = Encoder(F, T, Al=8, Z=nblocks)
+    src = MemoryIO(data)
+    per_block = []
+    for sbn in range(nblocks):
+        gaps = np.nonzero(rng.random(K) < 0.06)[0]
+        nrep = gaps.size + max(1, int(0.05 * K))
+        rep_esis = np.arange(K, K + nrep)
+        per_block.append((gaps, rep_esis, enc.encode_batch(sbn, rep_esis, src)))
+
+    def fresh_decoder():
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        out = np.zeros(F, np.uint8)
+        io = MemoryIO(out)
+        for sbn, (gaps, rep_esis, rep_pl) in enumerate(per_block):
+            keep = np.setdiff1d(np.arange(K), gaps)
+            dec.add_symbols(payloads[sbn * K + keep], [make_tag(sbn, int(e)) for e in keep], io)
+            dec.add_symbols(rep_pl, [make_tag(sbn, int(e)) for e in rep_esis], io)
+        return dec, out, io
+
+    def sync4(sym):
+        _ = np.asarray(sym[0, :4])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    dec, out, io = fresh_decoder()
+    # pre-stage each block's patched payload matrix on device (M_pad is
+    # canonical given K' and the overhead count, so no solve is needed)
+    staged = []
+    for sbn in range(nblocks):
+        gaps, isis, ov = dec._repair_prepare(sbn)
+        D_dev = jnp.asarray(dec._repair_D(sbn, gaps, ov, _pad_rows(dec.P.L + ov + 1)))
+        D_dev.block_until_ready()
+        staged.append((sbn, gaps, isis, ov, D_dev))
+
+    best_pipe = best_serial = float("inf")
+    launched = None
+    for it in range(max(2, iters)):
+        cc.clear_decoder_cache()
+        t0 = time.time()
+        with ThreadPoolExecutor() as ex:
+            futs = [(s, g, ex.submit(cc.decoder_schedule, dec.P, i, ov), ov, Dd) for s, g, i, ov, Dd in staged]
+            launched = [(s, g, dec._repair_launch(s, g, ov, f.result(), Dd)) for s, g, f, ov, Dd in futs]
+        for _, _, sym in launched:
+            sync4(sym)
+        best_pipe = min(best_pipe, time.time() - t0)
+
+        cc.clear_decoder_cache()
+        t0 = time.time()
+        for sbn, gaps, isis, ov, Dd in staged:
+            ds = cc.decoder_schedule(dec.P, isis, ov)
+            sync4(dec._repair_launch(sbn, gaps, ov, ds, Dd))
+        best_serial = min(best_serial, time.time() - t0)
+
+    for sbn, gaps, sym in launched:  # verify via the normal finish path
+        assert dec._repair_finish(io, sbn, gaps, sym)
+    assert np.array_equal(out, data), "decode_pipe verification FAILED"
+    return 8 * F / best_pipe / 1e9, best_serial / best_pipe
+
+
 def bench_K(K, T, blocks, iters, rng):
     import jax
     import jax.numpy as jnp
@@ -234,6 +320,12 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ks", type=int, nargs="*", default=[100, 1000, 10000, 50000])
     ap.add_argument("--full", action="store_true", help="reference K grid (all 6)")
+    ap.add_argument(
+        "--pipe",
+        action="store_true",
+        help="also measure multi-block pipelined decode (distinct loss patterns; "
+        "relay-tunnel uploads cap the absolute number on this rig, see BENCH_NOTES)",
+    )
     ap.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
     args = ap.parse_args()
     ks = [100, 500, 1000, 5000, 10000, 50000] if args.full else args.ks
@@ -254,6 +346,8 @@ def main():
             blocks -= 1
         iters = args.iters if K <= 5000 else max(4, args.iters // 4)
         r = bench_K(K, args.T, blocks, iters, rng)
+        if args.pipe and K in (1000, 5000, 10000):  # multi-block solve hiding
+            r["decode_pipe"], r["pipe_speedup"] = bench_decode_pipe(K, args.T, 8, 3)
         base = REF_BASELINE.get(K)
         if base:
             r["vs_ref"] = round(
@@ -269,6 +363,11 @@ def main():
             f"decode {r['decode']:.2f} (ref {(base or {}).get('decode_oh5', 0)/1e3:.2f}), "
             f"agg {r['agg']:.2f} Gbps ({r.get('vs_ref', 0):.2f}x), "
             f"solve {r['solve_ms']:.0f}ms/{r['dec_solve_ms']:.0f}ms"
+            + (
+                f", pipe {r['decode_pipe']:.2f} Gbps ({r['pipe_speedup']:.2f}x vs serial)"
+                if "decode_pipe" in r
+                else ""
+            )
         )
 
     if prof is not None:

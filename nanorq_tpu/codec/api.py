@@ -394,16 +394,14 @@ class Decoder(_CodecBase):
         isis[P.Kp :] = rep_isis[gaps.size :]
         return gaps, isis, overhead
 
-    def _repair_launch(self, sbn: int, gaps: np.ndarray, overhead: int, ds):
-        """Dispatch the block's device replay + gap LT combine (async)."""
-        import jax.numpy as jnp
-
-        from nanorq_tpu.ops.lt import lt_combine, lt_plan
-        from nanorq_tpu.ops.replay import device_arrays, replay_device
-
+    def _repair_D(self, sbn: int, gaps: np.ndarray, overhead: int, M_pad: int) -> np.ndarray:
+        """The patched payload matrix D [M_pad, T]: received sources in their
+        rows, repair payloads in the gap and overhead slots (reference
+        fill_symbol_matrix_gaps, nanorq.c:549-565).  M_pad is canonical given
+        (K', overhead), so D can be staged before the pattern is solved."""
         b = self._block(sbn)
         P = self.P
-        D = np.zeros((ds.M_pad, self.scheme.T), np.uint8)
+        D = np.zeros((M_pad, self.scheme.T), np.uint8)
         if b.D is not None:
             have = np.nonzero(b.got)[0]
             D[have] = b.D[have]
@@ -411,9 +409,23 @@ class Decoder(_CodecBase):
             D[slot] = payload
         for slot, (_, payload) in zip(range(P.Kp, P.Kp + overhead), b.repair[gaps.size :]):
             D[slot] = payload
+        return D
 
-        C = replay_device(device_arrays(ds), jnp.asarray(D))
-        plan = lt_plan(gaps.astype(np.uint32), P)  # gap ESIs == ISIs (< K)
+    def _repair_launch(self, sbn: int, gaps: np.ndarray, overhead: int, ds, D_dev=None):
+        """Dispatch the block's device replay + gap LT combine (async).
+
+        D_dev: optionally a pre-staged device payload matrix [ds.M_pad, T]
+        (benchmarks stage it to keep host->device transfer out of timed
+        regions; production callers leave it None)."""
+        import jax.numpy as jnp
+
+        from nanorq_tpu.ops.lt import lt_combine, lt_plan
+        from nanorq_tpu.ops.replay import device_arrays, replay_device
+
+        if D_dev is None:
+            D_dev = jnp.asarray(self._repair_D(sbn, gaps, overhead, ds.M_pad))
+        C = replay_device(device_arrays(ds), D_dev)
+        plan = lt_plan(gaps.astype(np.uint32), self.P)  # gap ESIs == ISIs (< K)
         return lt_combine(C, plan)  # lazy device value (async dispatch)
 
     def _repair_finish(self, io: IOContext, sbn: int, gaps: np.ndarray, sym) -> bool:
@@ -439,14 +451,13 @@ class Decoder(_CodecBase):
         sym = self._repair_launch(sbn, gaps, overhead, ds)
         return self._repair_finish(io, sbn, gaps, sym)
 
-    def repair_all(self, io: IOContext, max_workers: int | None = None) -> bool:
-        """Repair every block, pipelining the three stages (SURVEY.md §7
-        hard-part 5): per-pattern host solves run in a thread pool (the
-        native solver releases the GIL), device replays dispatch as each
-        solve lands (JAX async dispatch queues them), and result fetches +
-        write-through drain last — so solve(N+1) overlaps replay(N).
+    def _repair_pipeline(self, max_workers: int | None = None):
+        """Solve + launch every gap block without draining results.
 
-        Returns True iff every block is fully recovered."""
+        Returns (ok_so_far, launched) where launched is a list of
+        (sbn, gaps, device_symbols) with the device work already dispatched
+        (JAX async dispatch); callers drain with _repair_finish.
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         work, ok = [], True
@@ -457,10 +468,10 @@ class Decoder(_CodecBase):
             else:
                 work.append((sbn, *prep))
         if not work:
-            return ok
+            return ok, []
+        launched = []
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             futs = [(s, g, ex.submit(_cache.decoder_schedule, self.P, i, ov), ov) for s, g, i, ov in work]
-            launched = []
             for sbn, gaps, fut, ov in futs:
                 ds = fut.result()
                 if ds is None:
@@ -470,6 +481,17 @@ class Decoder(_CodecBase):
                     ok = False
                     continue
                 launched.append((sbn, gaps, self._repair_launch(sbn, gaps, ov, ds)))
+        return ok, launched
+
+    def repair_all(self, io: IOContext, max_workers: int | None = None) -> bool:
+        """Repair every block, pipelining the three stages (SURVEY.md §7
+        hard-part 5): per-pattern host solves run in a thread pool (the
+        native solver releases the GIL), device replays dispatch as each
+        solve lands (JAX async dispatch queues them), and result fetches +
+        write-through drain last — so solve(N+1) overlaps replay(N).
+
+        Returns True iff every block is fully recovered."""
+        ok, launched = self._repair_pipeline(max_workers)
         for sbn, gaps, sym in launched:
             ok = self._repair_finish(io, sbn, gaps, sym) and ok
         return ok

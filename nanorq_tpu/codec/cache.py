@@ -51,6 +51,13 @@ def encoder_schedule(Kp: int, CB: int | None = None) -> DeviceSchedule:
     return ds
 
 
+def clear_decoder_cache() -> None:
+    """Drop all cached per-pattern decoder schedules (benchmarks use this to
+    force fresh solves; production code never needs it)."""
+    with _dec_lock:
+        _dec_cache.clear()
+
+
 def clear_encoder_cache() -> None:
     with _enc_lock:
         _enc_cache.clear()

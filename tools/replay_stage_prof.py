@@ -1,0 +1,199 @@
+"""Per-stage timing of the structured replay at a given K/B.
+
+Times, with the bench's chained-iteration methodology:
+  full        the complete 6-stage replay
+  tri_gather  only the per-chunk tpass gathers (scan, no matmul/overflow)
+  tri_matmul  only the per-chunk GF(2) chunk-inverse matmuls
+  tri_ov      only the per-chunk overflow gathers + width-1 selects
+  tri         one full trisolve
+  mid         stages 2-4 (bsel/HDPC/Vinv/ut)
+  lt          LT combine of all K' symbols
+
+Usage: python tools/replay_stage_prof.py [K] [B] [iters]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nanorq_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanorq_tpu.codec.cache import encoder_schedule
+from nanorq_tpu.ops.lt import lt_combine, lt_plan
+from nanorq_tpu.ops.replay import (
+    _apply_plan,
+    _gather,
+    _gf2mm,
+    _replay_jit,
+    _select_rows,
+    _trisolve,
+    _unpack_bits,
+    device_arrays,
+    take_rows,
+)
+from nanorq_tpu.rfc.params import params_init
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+T = 1280
+t = B * T
+
+P = params_init(K)
+ds = encoder_schedule(P.Kp)
+arr = device_arrays(ds)
+a = dict(arr)
+pallas = a.pop("pallas")
+Lpad = ds.Lpad
+CB = ds.CB
+
+rng = np.random.default_rng(0)
+D = np.zeros((ds.M_pad, t), np.uint8)
+D[:K] = rng.integers(0, 256, (K, t), dtype=np.uint8)
+Dj = jnp.asarray(D)
+payload = K * T * B
+
+nseg = len(ds.tri)
+widths = [seg.tpass.shape[2] for seg in ds.tri]
+novs = [[ix.shape for ix, _ in seg.tov] for seg in ds.tri]
+ndeps = sum(int((seg.tpass < Lpad).sum()) for seg in ds.tri)
+nslots = sum(seg.tpass.size for seg in ds.tri)
+nov_deps = sum(int((ix < Lpad).sum()) for seg in ds.tri for ix, _ in seg.tov)
+nov_slots = sum(ix.size for seg in ds.tri for ix, _ in seg.tov)
+print(
+    f"K={K} Kp={P.Kp} L={P.L} Lpad={Lpad} CB={CB} chunks={Lpad//CB} segs={nseg} "
+    f"widths={widths} tpass fill {ndeps}/{nslots} ({100*ndeps/max(1,nslots):.0f}%) "
+    f"ov fill {nov_deps}/{nov_slots} ov shapes={novs}"
+)
+
+
+def timed(name, fn, x0, n=iters):
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, n, fn, x)
+
+    def sync(o):
+        leaf = jax.tree.leaves(o)[0]
+        _ = np.asarray(leaf[0, :4] if leaf.ndim == 2 else leaf.ravel()[:4])
+
+    t0 = time.time()
+    sync(run(x0))
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sync(run(x0))
+        best = min(best, time.time() - t0 - 0.035)
+    per = max(1e-9, best / n)
+    print(f"  {name:12s} {1e3*per:8.2f} ms  ({8*payload/per/1e9:6.2f} Gbps eq)  [compile {compile_s:.1f}s]")
+    return per
+
+
+# --- full replay ---
+timed("full", lambda i, Dc: Dc.at[: P.L].set(_replay_jit(a, Dc, pallas)), Dj)
+
+# --- one trisolve ---
+y0 = take_rows(pallas, Dj, a["piv_rows"])
+
+
+def tri_body(i, y):
+    z = _trisolve(a, y, pallas)
+    return y.at[:Lpad].set(z[:Lpad])
+
+
+timed("tri(x1)", tri_body, y0)
+
+# --- tpass gathers only (same scan structure, skip matmul+overflow) ---
+def tri_gather_only(i, y):
+    zext = jnp.concatenate([y, jnp.zeros((1, t), jnp.uint8)], axis=0)
+    out = y
+    for seg in a["tri"]:
+        nq = seg["tpass"].shape[0]
+
+        def body(carry, tpass_q):
+            g = _gather(pallas, zext, tpass_q)
+            return carry ^ g[:1], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((1, t), jnp.uint8), seg["tpass"])
+        out = out.at[:1].set(out[:1] ^ acc)
+    return out
+
+
+timed("tri_gather", tri_gather_only, y0)
+
+# --- chunk matmuls only ---
+def tri_matmul_only(i, y):
+    out = y
+    for seg in a["tri"]:
+        tinv = _unpack_bits(seg["tinv"])
+
+        def body(carry, tinv_q):
+            r = _gf2mm(pallas, tinv_q, carry)
+            return r, None
+
+        r, _ = jax.lax.scan(body, y[:CB], tinv)
+        out = out.at[:CB].set(r)
+    return out
+
+
+timed("tri_matmul", tri_matmul_only, y0)
+
+# --- overflow gathers + selects only ---
+def tri_ov_only(i, y):
+    zext = jnp.concatenate([y, jnp.zeros((1, t), jnp.uint8)], axis=0)
+    out = y
+    for seg in a["tri"]:
+        if not seg["tov"]:
+            continue
+
+        def body(carry, tov_q):
+            accq = carry
+            for ix, sel in [tov_q]:
+                red = _gather(pallas, zext, ix)
+                accq = accq ^ _select_rows(pallas, red, sel)
+            return accq, None
+
+        for ix_all, sel_all in seg["tov"]:
+            acc, _ = jax.lax.scan(body, jnp.zeros((CB, t), jnp.uint8), (ix_all, sel_all))
+            out = out.at[:CB].set(out[:CB] ^ acc)
+    return out
+
+
+timed("tri_ov", tri_ov_only, y0)
+
+# --- stages 2-4 ---
+def mid_body(i, y):
+    z = jnp.concatenate([y, jnp.zeros((1, t), jnp.uint8)], axis=0)
+    u_pad = a["vinv_bits"].shape[0] // 8
+    zsel = _apply_plan(pallas, z, a["bsel"], take_rows(pallas, Dj, a["sel_rows"]))
+    if a["mhd_bits"] is not None:
+        from nanorq_tpu.ops.replay import _gf256mm, VINV_KB
+
+        hvals = _gf256mm(pallas, _unpack_bits(a["mhd_bits"]), z[:Lpad], CB)
+        zsel = zsel ^ _select_rows(pallas, hvals, a["hd_sel"])
+    from nanorq_tpu.ops.replay import _gf256mm, VINV_KB
+
+    xu = _gf256mm(pallas, _unpack_bits(a["vinv_bits"]), zsel, min(u_pad, VINV_KB))
+    xu_ext = jnp.concatenate([xu, jnp.zeros((1, t), jnp.uint8)], axis=0)
+    w = _apply_plan(pallas, xu_ext, a["ut"], y)
+    return y.at[:Lpad].set(w)
+
+
+timed("mid(2-4)", mid_body, y0)
+
+# --- LT combine of all Kp ---
+plan_all = lt_plan(np.arange(P.Kp, dtype=np.uint32), P)
+C0 = _replay_jit(a, Dj, pallas)
+
+
+def lt_body(i, C):
+    s = lt_combine(C, plan_all)
+    return C.at[: P.L].set(s[: P.L])
+
+
+timed("lt(all Kp)", lt_body, C0)
