@@ -227,11 +227,13 @@ def bench_K(K, T, blocks, iters, rng):
             leaf = jax.tree.leaves(o)[0]
             _ = np.asarray(leaf[0, :4] if leaf.ndim == 2 else leaf.ravel()[:4])
 
-        sync(run(x0))  # compile + warm
+        xc = run(x0)  # compile + warm; timed calls consume the previous
+        sync(xc)  # output so no two relay requests are identical (caching)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            sync(run(x0))
+            xc = run(xc)
+            sync(xc)
             best = min(best, time.time() - t0 - 0.035)
         return max(1e-9, best / n)
 

@@ -150,7 +150,7 @@ def gf2_matmul_pallas(bits: jnp.ndarray, X: jnp.ndarray, tw: int | None = None, 
     k2, t = X.shape
     assert k == k2
     if tw is None:
-        tw = _pick_tw(t, (4 << 20) // (32 * m))  # int32 acc [m, 8tw] <= 4MB
+        tw = _pick_tw(t, (4 << 20) // (32 * m))  # int32 acc [m, 8tw] <= 4MB (stack OOMs at 8MB)
         assert tw is not None, f"payload width {t} not tileable"
     tw = min(tw, t)
     kb = min(kb, k)

@@ -20,11 +20,21 @@ jit-compiled per DeviceSchedule *shape* signature: canonical padding in the
 compiler makes decode schedules for one K' share a compiled program.
 """
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True)
+class _Static:
+    """Static pytree node: carries Python structure (e.g. range bounds)
+    through a jitted pytree argument as part of the compile key, not data."""
+
+    value: tuple
 
 from nanorq_tpu.gf256.bitplane import companion_bits
 from nanorq_tpu.ops import gfmat
@@ -95,8 +105,8 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
         "tri": tuple(
             {
                 "tinv": _put_bits(seg.tinv),
-                "tpass": j(seg.tpass),
-                "tov": tuple((j(ix), j(sel)) for ix, sel in seg.tov),
+                "bounds": _Static(tuple((a, b) for a, b, _ in seg.ranges)),
+                "ridx": tuple(j(ix) for _, _, ix in seg.ranges),
             }
             for seg in ds.tri  # segment q0 is implied by cumulative lengths
         ),
@@ -188,33 +198,33 @@ def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     for seg in arr["tri"]:
         tinv = _unpack_bits(seg["tinv"])
         nq, CB, _ = tinv.shape
+        bounds = seg["bounds"].value  # static prefix ranges (chunk rows degree-sorted)
 
-        def chunk_step(z, yq, tinv_q, tpass_q, tov_q, q):
+        def chunk_step(z, yq, tinv_q, ridx_q, q, bounds=bounds):
             # (a fused gather+matmul chunk kernel was tried and measured
             # slower: in-kernel serial DMA issue loses to the pipelined
             # gather kernel — see BENCH_NOTES.md)
-            acc = yq ^ _gather(pallas, z, tpass_q)
-            for ix, sel in tov_q:
-                acc = acc ^ _select_rows(pallas, _gather(pallas, z, ix), sel)
+            acc = yq
+            for (a, b), ix in zip(bounds, ridx_q):
+                acc = acc.at[a:b].set(acc[a:b] ^ _gather(pallas, z, ix))
             zq = _gf2mm(pallas, tinv_q, acc)
             return jax.lax.dynamic_update_slice_in_dim(z, zq, q * CB, 0)
 
         if nq <= _SCAN_THRESHOLD:
             for qi in range(nq):
                 q = q0 + qi
-                tov_q = tuple((ix[qi], sel[qi]) for ix, sel in seg["tov"])
-                z = chunk_step(z, y[q * CB : (q + 1) * CB], tinv[qi], seg["tpass"][qi], tov_q, q)
+                ridx_q = tuple(ix[qi] for ix in seg["ridx"])
+                z = chunk_step(z, y[q * CB : (q + 1) * CB], tinv[qi], ridx_q, q)
         else:
 
             def body(z, xs, q0=q0, CB=CB):
-                qi, tinv_q, tpass_q, tov_flat = xs
+                qi, tinv_q, ridx_q = xs
                 q = q0 + qi
                 yq = jax.lax.dynamic_slice_in_dim(y, q * CB, CB, 0)
-                return chunk_step(z, yq, tinv_q, tpass_q, tov_flat, q), None
+                return chunk_step(z, yq, tinv_q, ridx_q, q), None
 
             qs = jnp.arange(nq)
-            tov_xs = tuple((ix, sel) for ix, sel in seg["tov"])
-            z, _ = jax.lax.scan(body, z, (qs, tinv, seg["tpass"], tov_xs))
+            z, _ = jax.lax.scan(body, z, (qs, tinv, seg["ridx"]))
         q0 += nq
     return z
 

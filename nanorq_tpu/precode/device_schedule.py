@@ -155,12 +155,20 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> Gathe
 
 @dataclass
 class TriSegment:
-    """A run of triangle chunks sharing one uniform dep-shape profile."""
+    """A run of triangle chunks sharing one uniform dep-shape profile.
+
+    Rows within each chunk are permuted so cross-chunk degree is
+    non-increasing (the chunk inverse is conjugated by the same permutation),
+    which lets the dep application run as a few prefix-range gathers
+    `acc[a:b] ^= XOR z[idx]` with staircase-tight widths — no bucket+select
+    indirection and near-zero sentinel padding.
+    """
 
     q0: int  # first chunk index
-    tinv: np.ndarray  # uint8 [nq, CB, CB] chunk inverses
-    tpass: np.ndarray  # int32 [nq, CB, WS] row-aligned small deps
-    tov: list  # [(idx [nq, R, W], sel [nq, CB])] overflow width classes
+    tinv: np.ndarray  # uint8 [nq, CB, CB] chunk inverses (degree-sorted basis)
+    # prefix dep ranges: (a, b, idx int32 [nq, b-a, w]); rows [a, b) of each
+    # chunk XOR the gathered rows of z (sentinel Lpad -> zero row)
+    ranges: list[tuple[int, int, np.ndarray]]
 
 
 @dataclass
@@ -204,8 +212,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     M_pad = _pad_rows(M + 1)
     zero_row = M_pad - 1  # executor guarantees D[M_pad-1] == 0
 
-    piv_rows = np.full(Lpad, zero_row, np.int32)
-    piv_rows[:i] = st.piv_rows
+    piv_rows = np.full(Lpad, zero_row, np.int32)  # filled after the degree sort
 
     # --- triangle: per-position deps at pivot columns with smaller position.
     # Built from flat edge arrays (the per-pivot Python loop was the
@@ -229,114 +236,138 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     tinv_bits[qq[inck], dep_k[inck] % CB, dep_pos[inck] - qq[inck] * CB] = 1
     _invert_tri_chunks(tinv_bits)
 
-    # Earlier-chunk deps, grouped into chunk segments of uniform shape.  The
-    # peel tail (LDPC-heavy rows) concentrates wide rows in the last ~25% of
-    # chunks; giving those chunks their own wider pass keeps the clean
-    # majority of chunks from paying sentinel-gather traffic for them.
+    # --- degree-sorted position permutation: within each chunk, order pivot
+    # positions by non-increasing cross-chunk degree.  Any intra-chunk order
+    # is valid (in-chunk deps are folded into the chunk inverse, which is
+    # conjugated below); sorting makes each chunk's dep application a short
+    # staircase of prefix ranges with tight widths — measured 26-32% slot
+    # fill in the previous pass/overflow scheme at K'=50511.
     ext = ~inck
-    erow = dep_k[ext] % CB
-    echunk = qq[ext]
-    edep = dep_pos[ext]
-    key = echunk * CB + erow
-    order_e = np.argsort(key, kind="stable")
-    key, erow_s, echunk_s, edep_s = key[order_e], erow[order_e], echunk[order_e], edep[order_e]
-    counts = np.bincount(key, minlength=nchunks * CB)
-    starts = np.zeros(nchunks * CB + 1, np.int64)
+    deg = np.bincount(dep_k[ext], minlength=Lpad).astype(np.int64)
+    order_in_chunk = np.argsort(-deg.reshape(nchunks, CB), axis=1, kind="stable")  # [q, rank] -> old local
+    rank = np.empty((nchunks, CB), np.int64)
+    np.put_along_axis(rank, order_in_chunk, np.broadcast_to(np.arange(CB), (nchunks, CB)), axis=1)
+    posmap = (np.arange(Lpad) // CB) * CB + rank.reshape(-1)  # old pos -> new pos
+
+    # conjugate each chunk inverse into the sorted basis:
+    # z' = P z, acc' = P acc  =>  Tinv' = P Tinv P^T
+    qi = np.arange(nchunks)[:, None, None]
+    tinv_bits = tinv_bits[qi, order_in_chunk[:, :, None], order_in_chunk[:, None, :]]
+
+    # cross-chunk dep edges in the sorted basis, ordered by receiving row
+    erow_g = posmap[dep_k[ext]]
+    edep_g = posmap[dep_pos[ext]]
+    order_e = np.argsort(erow_g, kind="stable")
+    key, edep_s = erow_g[order_e], edep_g[order_e]
+    counts = np.bincount(key, minlength=Lpad)
+    starts = np.zeros(Lpad + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     colpos = np.arange(key.size, dtype=np.int64) - starts[key]
+    echunk_s = key // CB
+    elocal_s = key % CB
+    degs = counts.reshape(nchunks, CB)  # non-increasing along rows
 
-    # Cost-optimal segmentation (DP): choose chunk ranges and a pass width
-    # per range minimizing modeled gather traffic (pass sentinel padding +
-    # overflow class traffic) plus a per-segment compile/launch penalty.
-    pc = counts.reshape(nchunks, CB)
-    wgrid = [4, 8, 16, 32, 64, 128, 256]
-    # per-chunk histogram over quantized width classes (class g = rows whose
-    # count falls in (wgrid[g-1], wgrid[g]])
-    edges = np.array([0] + wgrid, np.int64)
-    hist = np.stack([np.histogram(pc[q], bins=np.append(edges, 1 << 30))[0] for q in range(nchunks)])
-    # csum[g][b]-csum[g][a]: rows of class g in chunks [a,b)
-    csum = np.concatenate([np.zeros((1, hist.shape[1]), np.int64), np.cumsum(hist, 0)])
-
+    # Cost-optimal plan (outer DP over chunk segments, inner DP over prefix
+    # boundaries): modeled cost = gathered slots (range length x quantized
+    # width) + a fixed per-gather-launch penalty + a per-segment penalty.
+    # Boundaries/widths come from fixed grids so decode schedules of one K'
+    # keep hitting the same compiled program across loss patterns.
+    _CAND = [c for c in (0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768) if c < CB] + [CB]
+    _WQ = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 2048, 4096)
+    RANGE_PENALTY = 768  # slots-equivalent fixed cost of one more gather launch per chunk
     SEG_PENALTY = 2 * CB * 64  # modeled fixed cost of one more segment
+    MAX_RANGES = 5
 
-    def seg_cost(a: int, b: int) -> tuple[int, int]:
-        # model matches build_segment: full-coverage pass of width WS plus
-        # two overflow classes (WS,4WS], (4WS,inf) padded to the per-chunk
-        # max row count across the segment (the padding is the real cost)
-        rmax = hist[a:b].max(0)  # per-class max rows in any one chunk
-        wclass = np.array(wgrid + [wgrid[-1] * 2])  # width of class g
-        best, best_ws = None, wgrid[0]
-        for gi, WS in enumerate(wgrid):
-            cost = (b - a) * CB * WS
-            inA = (wclass[1:] > WS) & (wclass[1:] <= 4 * WS)
-            inB = wclass[1:] > 4 * WS
-            ra = int(rmax[1:][inA].sum())
-            rb = int(rmax[1:][inB].sum())
-            if ra:
-                cost += (b - a) * _pad_rows(ra) * 4 * WS
-            if rb:
-                wmax = int(wclass[1:][inB & (rmax[1:] > 0)].max(initial=0))
-                cost += (b - a) * _pad_rows(rb) * wmax
-            if best is None or cost < best:
-                best, best_ws = cost, WS
-        return best, best_ws
+    def _wq(n: int) -> int:
+        for w in _WQ:
+            if n <= w:
+                return w
+        return int(_WQ[-1] * (1 + (n - 1) // _WQ[-1]))
+
+    def inner_ranges(a: int, b: int) -> tuple[float, list]:
+        """Min-cost prefix ranges covering chunks [a, b) (sorted degrees)."""
+        wmax = degs[a:b].max(0)  # [CB], non-increasing
+        wq_at = [(_wq(int(wmax[c])) if c < CB and wmax[c] > 0 else 0) for c in _CAND]
+        nc = len(_CAND)
+        # dp over candidate boundaries, <= MAX_RANGES ranges
+        INF = float("inf")
+        dp = [[INF] * nc for _ in range(MAX_RANGES + 1)]
+        bk = [[-1] * nc for _ in range(MAX_RANGES + 1)]
+        dp[0][0] = 0.0
+        for g in range(1, MAX_RANGES + 1):
+            for j in range(1, nc):
+                for ii in range(j):
+                    if dp[g - 1][ii] == INF:
+                        continue
+                    w = wq_at[ii]
+                    cost = dp[g - 1][ii] + (_CAND[j] - _CAND[ii]) * w + (RANGE_PENALTY if w else 0)
+                    if cost < dp[g][j]:
+                        dp[g][j] = cost
+                        bk[g][j] = ii
+        # terminal: boundary j covers everything if wmax is zero beyond it
+        last_nz = int(np.max(np.nonzero(wmax)[0], initial=-1)) + 1
+        best, best_gj = INF, None
+        for g in range(1, MAX_RANGES + 1):
+            for j in range(nc):
+                if _CAND[j] >= last_nz and dp[g][j] < best:
+                    best, best_gj = dp[g][j], (g, j)
+        if best_gj is None:  # no deps at all
+            return 0.0, []
+        bounds = []
+        g, j = best_gj
+        while g > 0:
+            ii = bk[g][j]
+            if ii < 0:
+                break
+            if wq_at[ii]:
+                bounds.append((_CAND[ii], _CAND[j], wq_at[ii]))
+            j = ii
+            g -= 1
+        bounds.reverse()
+        return (b - a) * best, bounds
 
     INF = float("inf")
     dp = [INF] * (nchunks + 1)
-    back = [(-1, 4)] * (nchunks + 1)
+    back = [(-1, [])] * (nchunks + 1)
     dp[0] = 0.0
     for b in range(1, nchunks + 1):
         for a in range(max(0, b - 64), b):
-            c, ws = seg_cost(a, b)
+            c, bounds = inner_ranges(a, b)
             v = dp[a] + c + SEG_PENALTY
             if v < dp[b]:
                 dp[b] = v
-                back[b] = (a, ws)
+                back[b] = (a, bounds)
     merged = []
     b = nchunks
     while b > 0:
-        a, ws = back[b]
-        merged.append([a, b, ws])
+        a, bounds = back[b]
+        merged.append((a, b, bounds))
         b = a
     merged.reverse()
 
-    def build_segment(q0: int, q1: int, WS: int) -> TriSegment | None:
+    def build_segment(q0: int, q1: int, bounds) -> TriSegment | None:
         nq = q1 - q0
         if nq <= 0:
             return None
         in_seg = (echunk_s >= q0) & (echunk_s < q1)
-        ek, er, ec, ed = key[in_seg], erow_s[in_seg], echunk_s[in_seg] - q0, edep_s[in_seg]
+        ec = echunk_s[in_seg] - q0
+        el = elocal_s[in_seg]
+        ed = edep_s[in_seg]
         cp = colpos[in_seg]
-        tpass = np.full((nq, CB, WS), Lpad, np.int32)
-        small = counts[ek] <= WS
-        tpass[ec[small], er[small], cp[small]] = ed[small]
-        tov = []
-        seg_keys = np.arange(q0 * CB, q1 * CB)
-        seg_counts = counts[seg_keys].reshape(nq, CB)
-        lo = WS
-        for hi in (4 * WS, 1 << 30):
-            sel_q, sel_r = np.nonzero((seg_counts > lo) & (seg_counts <= hi))
-            if sel_q.size:
-                per_chunk = np.bincount(sel_q, minlength=nq)
-                R = _pad_rows(int(per_chunk.max()))
-                kabs = (sel_q + q0) * CB + sel_r
-                W = _quant(int(counts[kabs].max()))
-                # bucket-row index within each chunk (sel_q sorted)
-                first = np.zeros(nq + 1, np.int64)
-                np.cumsum(per_chunk, out=first[1:])
-                bidx = np.arange(sel_q.size) - first[sel_q]
-                brow = np.full(nchunks * CB, -1, np.int64)
-                brow[kabs] = bidx
-                m = brow[ek] >= 0
-                ix = np.full((nq, R, W), Lpad, np.int32)
-                ix[ec[m], brow[ek[m]], cp[m]] = ed[m]
-                sel = np.full((nq, CB), R, np.int32)  # sentinel: zero row
-                sel[sel_q, sel_r] = bidx
-                tov.append((ix, sel))
-            lo = hi
-        return TriSegment(q0=q0, tinv=tinv_bits[q0:q1], tpass=tpass, tov=tov)
+        ranges = []
+        for a, b2, w in bounds:
+            m = (el >= a) & (el < b2)
+            ix = np.full((nq, b2 - a, w), Lpad, np.int32)
+            ix[ec[m], el[m] - a, cp[m]] = ed[m]
+            ranges.append((a, b2, ix))
+        return TriSegment(q0=q0, tinv=tinv_bits[q0:q1], ranges=ranges)
 
-    tri = [s for s in (build_segment(q0, q1, WS) for q0, q1, WS in merged) if s is not None]
+    tri = [s for s in (build_segment(q0, q1, bounds) for q0, q1, bounds in merged) if s is not None]
+
+    # everything downstream that references triangle positions moves to the
+    # sorted basis: y rows, stage-2 deps, HDPC columns, U_t rows, output
+    if i:
+        piv_rows[posmap[:i]] = st.piv_rows
 
     # --- zsel: dense pivot rows ---
     order_sel = st.order[i : i + u]
@@ -351,7 +382,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
             cols = st.rows_cols[r]
             pos = st.pivpos_of_col[cols]
             b_slots.append(s)
-            b_deps.append(np.sort(pos[pos >= 0]).astype(np.int64))
+            b_deps.append(np.sort(posmap[pos[pos >= 0]]).astype(np.int64))
     bsel = _gather_plan(u_pad, b_slots, b_deps, sentinel=Lpad)
     mhd = None
     hd_sel_vec = None
@@ -360,7 +391,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         H_pad = 32  # Table 2 H is 10..16; pad to the int8 sublane-tile floor
         mhd = np.zeros((H_pad, Lpad), np.uint8)
         if i:
-            mhd[: P.H, :i] = Ahd[:, st.piv_cols]
+            mhd[: P.H, posmap[:i]] = Ahd[:, st.piv_cols]
         hd_sel_vec = np.full(u_pad, H_pad, np.int32)
         for s in hd_sel:
             hd_sel_vec[s] = int(order_sel[s]) - st.NB
@@ -378,11 +409,11 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     # --- U_t: triangle rows' original inactive-column entries ---
     ucf = st.ucol_of[cols_flat]
     um = ucf >= 0
-    ut = _gather_plan_flat(Lpad, kk[um], ucf[um], sentinel=u_pad, w_small=4)
+    ut = _gather_plan_flat(Lpad, posmap[kk[um]], ucf[um], sentinel=u_pad, w_small=4)
 
     # --- output gather ---
     out_sel = np.zeros(L, np.int32)
-    out_sel[st.piv_cols] = np.arange(i)
+    out_sel[st.piv_cols] = posmap[: i].astype(np.int32)
     out_sel[st.u_cols] = Lpad + np.arange(u)
 
     return DeviceSchedule(
@@ -420,10 +451,9 @@ def _trisolve_np(ds: DeviceSchedule, y: np.ndarray) -> np.ndarray:
     for seg in ds.tri:
         for qi in range(seg.tinv.shape[0]):
             base = (seg.q0 + qi) * ds.CB
-            acc = y[base : base + ds.CB] ^ np.bitwise_xor.reduce(z[seg.tpass[qi]], axis=1)
-            for ix, sel in seg.tov:
-                red = np.bitwise_xor.reduce(z[ix[qi]], axis=1)
-                acc = acc ^ _select_rows_np(red, sel[qi])
+            acc = y[base : base + ds.CB].copy()
+            for a, b, ix in seg.ranges:
+                acc[a:b] ^= np.bitwise_xor.reduce(z[ix[qi]], axis=1)
             z[base : base + ds.CB] = gf2_matmul_bytes(seg.tinv[qi], acc)
     return z
 

@@ -55,9 +55,9 @@ for B in Bs:
         _ = np.asarray(o[0, :4])
         comp = time.time() - t0
         best = float("inf")
-        for _i in range(2):
+        for _i in range(2):  # chained: no two relay calls identical
             t0 = time.time()
-            o = loop(Dj)
+            o = loop(o)
             _ = np.asarray(o[0, :4])
             best = min(best, time.time() - t0 - 0.035)
         per = best / N

@@ -59,16 +59,12 @@ Dj = jnp.asarray(D)
 payload = K * T * B
 
 nseg = len(ds.tri)
-widths = [seg.tpass.shape[2] for seg in ds.tri]
-novs = [[ix.shape for ix, _ in seg.tov] for seg in ds.tri]
-ndeps = sum(int((seg.tpass < Lpad).sum()) for seg in ds.tri)
-nslots = sum(seg.tpass.size for seg in ds.tri)
-nov_deps = sum(int((ix < Lpad).sum()) for seg in ds.tri for ix, _ in seg.tov)
-nov_slots = sum(ix.size for seg in ds.tri for ix, _ in seg.tov)
+shapes = [[(a, b, ix.shape[2]) for a, b, ix in seg.ranges] for seg in ds.tri]
+ndeps = sum(int((ix < Lpad).sum()) for seg in ds.tri for _, _, ix in seg.ranges)
+nslots = sum(ix.size for seg in ds.tri for _, _, ix in seg.ranges)
 print(
     f"K={K} Kp={P.Kp} L={P.L} Lpad={Lpad} CB={CB} chunks={Lpad//CB} segs={nseg} "
-    f"widths={widths} tpass fill {ndeps}/{nslots} ({100*ndeps/max(1,nslots):.0f}%) "
-    f"ov fill {nov_deps}/{nov_slots} ov shapes={novs}"
+    f"range fill {ndeps}/{nslots} ({100*ndeps/max(1,nslots):.0f}%) ranges={shapes}"
 )
 
 
@@ -82,12 +78,14 @@ def timed(name, fn, x0, n=iters):
         _ = np.asarray(leaf[0, :4] if leaf.ndim == 2 else leaf.ravel()[:4])
 
     t0 = time.time()
-    sync(run(x0))
+    xc = run(x0)
+    sync(xc)
     compile_s = time.time() - t0
     best = float("inf")
-    for _ in range(2):
+    for _ in range(2):  # chained: no two relay calls identical (cache pitfall)
         t0 = time.time()
-        sync(run(x0))
+        xc = run(xc)
+        sync(xc)
         best = min(best, time.time() - t0 - 0.035)
     per = max(1e-9, best / n)
     print(f"  {name:12s} {1e3*per:8.2f} ms  ({8*payload/per/1e9:6.2f} Gbps eq)  [compile {compile_s:.1f}s]")
@@ -108,18 +106,22 @@ def tri_body(i, y):
 
 timed("tri(x1)", tri_body, y0)
 
-# --- tpass gathers only (same scan structure, skip matmul+overflow) ---
+# --- range gathers only (same scan structure, skip matmul) ---
 def tri_gather_only(i, y):
     zext = jnp.concatenate([y, jnp.zeros((1, t), jnp.uint8)], axis=0)
     out = y
     for seg in a["tri"]:
-        nq = seg["tpass"].shape[0]
+        if not seg["ridx"]:
+            continue
 
-        def body(carry, tpass_q):
-            g = _gather(pallas, zext, tpass_q)
-            return carry ^ g[:1], None
+        def body(carry, ridx_q):
+            acc = carry
+            for ix in ridx_q:
+                g = _gather(pallas, zext, ix)
+                acc = acc ^ g[:1]
+            return acc, None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((1, t), jnp.uint8), seg["tpass"])
+        acc, _ = jax.lax.scan(body, jnp.zeros((1, t), jnp.uint8), seg["ridx"])
         out = out.at[:1].set(out[:1] ^ acc)
     return out
 
@@ -142,29 +144,6 @@ def tri_matmul_only(i, y):
 
 
 timed("tri_matmul", tri_matmul_only, y0)
-
-# --- overflow gathers + selects only ---
-def tri_ov_only(i, y):
-    zext = jnp.concatenate([y, jnp.zeros((1, t), jnp.uint8)], axis=0)
-    out = y
-    for seg in a["tri"]:
-        if not seg["tov"]:
-            continue
-
-        def body(carry, tov_q):
-            accq = carry
-            for ix, sel in [tov_q]:
-                red = _gather(pallas, zext, ix)
-                accq = accq ^ _select_rows(pallas, red, sel)
-            return accq, None
-
-        for ix_all, sel_all in seg["tov"]:
-            acc, _ = jax.lax.scan(body, jnp.zeros((CB, t), jnp.uint8), (ix_all, sel_all))
-            out = out.at[:CB].set(out[:CB] ^ acc)
-    return out
-
-
-timed("tri_ov", tri_ov_only, y0)
 
 # --- stages 2-4 ---
 def mid_body(i, y):
