@@ -67,14 +67,15 @@ _rows_lock = Lock()
 _rows_cache: dict[int, list] = {}
 
 
-def _patched_rows(P: Params, isis: np.ndarray, overhead: int) -> list:
-    """Binary rows for a decode pattern, reusing the cached encoder-side rows.
+def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
+    """Binary rows (CSR) for a decode pattern, reusing cached encoder rows.
 
     Only the slots whose ISI differs from the systematic 0..K'-1 sequence
     (the patched gaps + overhead rows) need fresh LT expansion — typically a
-    few percent of K', which dominates decode host-prep time at large K'.
+    few percent of K'.  The splice is fully vectorized (one flat-buffer
+    scatter), never materializing per-row Python lists.
     """
-    from nanorq_tpu.precode.matrix import lt_row_cols
+    from nanorq_tpu.precode.matrix import CSRRows, lt_rows_csr
 
     with _rows_lock:
         base = _rows_cache.get(P.Kp)
@@ -82,15 +83,38 @@ def _patched_rows(P: Params, isis: np.ndarray, overhead: int) -> list:
         base = binary_rows(P)
         with _rows_lock:
             _rows_cache[P.Kp] = base
-    rows = list(base[: P.Kp]) + [None] * overhead + list(base[P.Kp :])
+    Kp, S = P.Kp, P.S
     isis = np.asarray(isis, np.uint32)
-    changed = np.nonzero(isis != np.arange(P.Kp + overhead, dtype=np.uint32))[0]
-    changed = np.union1d(changed, np.arange(P.Kp, P.Kp + overhead))
-    if changed.size:
-        fresh = lt_row_cols(isis[changed], P)
-        for slot, cols in zip(changed, fresh):
-            rows[int(slot)] = cols
-    return rows
+    changed = np.nonzero(isis != np.arange(Kp + overhead, dtype=np.uint32))[0]
+    changed = np.union1d(changed, np.arange(Kp, Kp + overhead)).astype(np.int64)
+    if not changed.size:
+        return base
+    fresh = lt_rows_csr(isis[changed], P)
+
+    def within(lens):
+        total = int(lens.sum())
+        csum = np.zeros(lens.size + 1, np.int64)
+        np.cumsum(lens, out=csum[1:])
+        return np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], lens)
+
+    n = Kp + overhead + S
+    src = np.empty(n, np.int64)  # base row per output row (changed slots unused)
+    src[:Kp] = np.arange(Kp)
+    src[Kp + overhead :] = Kp + np.arange(S)
+    is_ch = np.zeros(n, bool)
+    is_ch[changed] = True
+    keep = np.nonzero(~is_ch)[0]
+
+    lens = np.empty(n, np.int64)
+    lens[keep] = base.ptr[src[keep] + 1] - base.ptr[src[keep]]
+    lens[changed] = fresh.lens()
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=ptr[1:])
+    cols = np.empty(int(ptr[-1]), np.int32)
+    _, vals = base.select_flat(src[keep])
+    cols[np.repeat(ptr[keep], lens[keep]) + within(lens[keep])] = vals
+    cols[np.repeat(ptr[changed], lens[changed]) + within(lens[changed])] = fresh.cols
+    return CSRRows(cols, ptr)
 
 
 def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None = None) -> DeviceSchedule | None:

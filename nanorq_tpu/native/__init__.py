@@ -88,6 +88,8 @@ def get_lib():
             lib.nrq_free.argtypes = [ctypes.c_void_p]
             lib.nrq_tinv_chunks.restype = None
             lib.nrq_tinv_chunks.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
+            lib.nrq_tinv_conj_chunks.restype = None
+            lib.nrq_tinv_conj_chunks.argtypes = [u8p, i32p, ctypes.c_int32, ctypes.c_int32]
             _lib = lib
         except Exception:
             _lib = None
@@ -107,17 +109,17 @@ def solve_native(P, rows_cols, overhead: int = 0):
 
     Raises RuntimeError if the native library is unavailable.
     """
-    from nanorq_tpu.precode.matrix import hdpc_full_rows
+    from nanorq_tpu.precode.matrix import CSRRows, hdpc_full_rows
     from nanorq_tpu.precode.solver import SolveState, _BIG
 
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native solver unavailable")
+    if not isinstance(rows_cols, CSRRows):
+        rows_cols = CSRRows.from_list(rows_cols)
     NB = len(rows_cols)
-    lens = np.fromiter((len(rc) for rc in rows_cols), np.int64, NB)
-    row_ptr = np.zeros(NB + 1, np.int32)
-    np.cumsum(lens, out=row_ptr[1:])
-    row_cols = _as_i32(np.concatenate(rows_cols) if NB else np.zeros(0, np.int64))
+    row_ptr = _as_i32(rows_cols.ptr)
+    row_cols = _as_i32(rows_cols.cols)
     hdpc = np.ascontiguousarray(hdpc_full_rows(P), dtype=np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)

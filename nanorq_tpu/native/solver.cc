@@ -379,4 +379,29 @@ void nrq_tinv_chunks(uint8_t* T, int32_t n, int32_t CB) {
   }
 }
 
+// Invert + conjugate by an intra-chunk permutation in one pass:
+//   out[r'][c'] = Tinv[order[r']][order[c']]   (out = P Tinv P^T)
+// order: [n, CB] int32, new position -> old position within the chunk.
+// Row gather is a memcpy; the column gather stays L1/L2-resident per row.
+void nrq_tinv_conj_chunks(uint8_t* T, const int32_t* order, int32_t n, int32_t CB) {
+  std::vector<uint8_t> inv((size_t)CB * CB);
+  for (int q = 0; q < n; q++) {
+    uint8_t* Tq = T + (size_t)q * CB * CB;
+    const int32_t* ord = order + (size_t)q * CB;
+    memset(inv.data(), 0, inv.size());
+    for (int r = 0; r < CB; r++) {
+      uint8_t* dst = inv.data() + (size_t)r * CB;
+      dst[r] = 1;
+      const uint8_t* trow = Tq + (size_t)r * CB;
+      for (int c = 0; c < r; c++)
+        if (trow[c]) row_xor(dst, inv.data() + (size_t)c * CB, CB);
+    }
+    for (int r = 0; r < CB; r++) {
+      const uint8_t* src = inv.data() + (size_t)ord[r] * CB;
+      uint8_t* dst = Tq + (size_t)r * CB;
+      for (int c = 0; c < CB; c++) dst[c] = src[ord[c]];
+    }
+  }
+}
+
 }  // extern "C"

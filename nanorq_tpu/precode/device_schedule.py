@@ -79,6 +79,33 @@ def _invert_tri_chunks(T: np.ndarray) -> None:
         T[q] = inv
 
 
+def _invert_conj_tri_chunks(T: np.ndarray, order: np.ndarray) -> None:
+    """Invert [n, CB, CB] unit-lower-triangular chunks and conjugate each by
+    its intra-chunk permutation (new position -> old position), in place:
+    T[q] <- P_q T[q]^-1 P_q^T.  Fused native path when available."""
+    n, CB, _ = T.shape
+    try:
+        from nanorq_tpu.native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        import ctypes
+
+        Tc = np.ascontiguousarray(T)
+        oc = np.ascontiguousarray(order, dtype=np.int32)
+        lib.nrq_tinv_conj_chunks(
+            Tc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            oc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, CB,
+        )
+        T[:] = Tc
+        return
+    _invert_tri_chunks(T)
+    rows = T[np.arange(n)[:, None], order]
+    T[:] = np.take_along_axis(rows, order[:, None, :], axis=2)
+
+
 @dataclass
 class GatherPlan:
     """Scatter-free sparse XOR-apply: out[r] ^= XOR of src[deps[r]].
@@ -219,9 +246,10 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     # compile-time hot spot at K' = 56403). ---
     nchunks = Lpad // CB
     if i:
-        lens = np.fromiter((len(st.rows_cols[int(r)]) for r in st.piv_rows), np.int64, i)
-        cols_flat = np.concatenate([st.rows_cols[int(r)] for r in st.piv_rows]).astype(np.int64)
-        kk = np.repeat(np.arange(i, dtype=np.int64), lens)
+        from nanorq_tpu.precode.matrix import CSRRows
+
+        rc = st.rows_cols if isinstance(st.rows_cols, CSRRows) else CSRRows.from_list(st.rows_cols)
+        kk, cols_flat = rc.select_flat(st.piv_rows)
     else:
         cols_flat = np.zeros(0, np.int64)
         kk = np.zeros(0, np.int64)
@@ -230,11 +258,6 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     dep_k, dep_pos = kk[dm], pos[dm]
     qq = dep_k // CB
     inck = dep_pos >= qq * CB  # dep within the same chunk -> folded into Tinv
-
-    tinv_bits = np.zeros((nchunks, CB, CB), np.uint8)
-    tinv_bits[:, np.arange(CB), np.arange(CB)] = 1
-    tinv_bits[qq[inck], dep_k[inck] % CB, dep_pos[inck] - qq[inck] * CB] = 1
-    _invert_tri_chunks(tinv_bits)
 
     # --- degree-sorted position permutation: within each chunk, order pivot
     # positions by non-increasing cross-chunk degree.  Any intra-chunk order
@@ -249,10 +272,12 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     np.put_along_axis(rank, order_in_chunk, np.broadcast_to(np.arange(CB), (nchunks, CB)), axis=1)
     posmap = (np.arange(Lpad) // CB) * CB + rank.reshape(-1)  # old pos -> new pos
 
-    # conjugate each chunk inverse into the sorted basis:
+    # chunk inverses conjugated into the sorted basis:
     # z' = P z, acc' = P acc  =>  Tinv' = P Tinv P^T
-    qi = np.arange(nchunks)[:, None, None]
-    tinv_bits = tinv_bits[qi, order_in_chunk[:, :, None], order_in_chunk[:, None, :]]
+    tinv_bits = np.zeros((nchunks, CB, CB), np.uint8)
+    tinv_bits[:, np.arange(CB), np.arange(CB)] = 1
+    tinv_bits[qq[inck], dep_k[inck] % CB, dep_pos[inck] - qq[inck] * CB] = 1
+    _invert_conj_tri_chunks(tinv_bits, order_in_chunk)
 
     # cross-chunk dep edges in the sorted basis, ordered by receiving row
     erow_g = posmap[dep_k[ext]]
@@ -326,22 +351,55 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         bounds.reverse()
         return (b - a) * best, bounds
 
+    # Batched per-(a, b) inner cost: identical model to inner_ranges, computed
+    # for all window starts a of one endpoint b in a few NumPy ops (the scalar
+    # DP was the compile-time hot spot at K' = 50511: ~1300 calls x ~1100
+    # Python loop iterations).  inner_ranges is kept for backtracking the
+    # chosen segments' bounds.
+    nc = len(_CAND)
+    CANDa = np.asarray(_CAND, np.float64)
+    WQA = np.asarray(_WQ, np.int64)
+    degs_cand = np.zeros((nchunks, nc), np.int64)
+    in_cb = [ci for ci, c in enumerate(_CAND) if c < CB]
+    degs_cand[:, in_cb] = degs[:, [_CAND[ci] for ci in in_cb]]
+    nnz_row = np.count_nonzero(degs, axis=1)  # rows are non-increasing
+    tri_mask = np.triu(np.ones((nc, nc), bool), 1)  # ii < j
+
+    def window_costs(b: int, a0: int) -> np.ndarray:
+        """inner_ranges(a, b)[0] for every a in [a0, b), vectorized."""
+        run = np.maximum.accumulate(degs_cand[a0:b][::-1], axis=0)[::-1]  # [na, nc]
+        lastnz = np.maximum.accumulate(nnz_row[a0:b][::-1])[::-1]  # [na]
+        wq = np.where(run > 0, WQA[np.minimum(np.searchsorted(WQA, run), len(WQA) - 1)], 0)
+        pen = np.where(wq > 0, float(RANGE_PENALTY), 0.0)
+        na = b - a0
+        dpv = np.full((na, nc), np.inf)
+        dpv[:, 0] = 0.0
+        best = np.full(na, np.inf)
+        term_ok = CANDa[None, :] >= lastnz[:, None]
+        for _ in range(MAX_RANGES):
+            base = dpv + pen - CANDa[None, :] * wq
+            trans = base[:, :, None] + wq[:, :, None] * CANDa[None, None, :]
+            dpv = np.where(tri_mask[None], trans, np.inf).min(axis=1)
+            best = np.minimum(best, np.where(term_ok, dpv, np.inf).min(axis=1))
+        return (b - np.arange(a0, b)) * best  # scalar model scales by nq
+
     INF = float("inf")
     dp = [INF] * (nchunks + 1)
-    back = [(-1, [])] * (nchunks + 1)
+    back = [-1] * (nchunks + 1)
     dp[0] = 0.0
     for b in range(1, nchunks + 1):
-        for a in range(max(0, b - 64), b):
-            c, bounds = inner_ranges(a, b)
-            v = dp[a] + c + SEG_PENALTY
+        a0 = max(0, b - 64)
+        costs = window_costs(b, a0)
+        for a in range(a0, b):
+            v = dp[a] + costs[a - a0] + SEG_PENALTY
             if v < dp[b]:
                 dp[b] = v
-                back[b] = (a, bounds)
+                back[b] = a
     merged = []
     b = nchunks
     while b > 0:
-        a, bounds = back[b]
-        merged.append((a, b, bounds))
+        a = back[b]
+        merged.append((a, b, inner_ranges(a, b)[1]))
         b = a
     merged.reverse()
 

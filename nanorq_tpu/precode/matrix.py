@@ -25,6 +25,57 @@ from nanorq_tpu.rfc.rand import rnd_get
 from nanorq_tpu.rfc.tuples import lt_indices
 
 
+class CSRRows:
+    """A list of per-row column-index sets backed by one flat CSR buffer.
+
+    Replaces list-of-arrays row sets on the solve hot path: building,
+    concatenating, and iterating ~K' small NumPy arrays dominated decode
+    host-prep time at large K'.  Supports the list protocol (len, index,
+    slice, iterate) so oracle/test code is unaffected.
+    """
+
+    __slots__ = ("cols", "ptr")
+
+    def __init__(self, cols: np.ndarray, ptr: np.ndarray):
+        self.cols = cols  # int32 [nnz], row-major
+        self.ptr = ptr  # int64 [n+1]
+
+    @classmethod
+    def from_list(cls, rows: list) -> "CSRRows":
+        n = len(rows)
+        lens = np.fromiter((len(r) for r in rows), np.int64, n)
+        ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=ptr[1:])
+        cols = np.concatenate(rows).astype(np.int32) if n and ptr[-1] else np.zeros(0, np.int32)
+        return cls(cols, ptr)
+
+    def __len__(self) -> int:
+        return self.ptr.size - 1
+
+    def __getitem__(self, r):
+        if isinstance(r, slice):
+            return [self[i] for i in range(*r.indices(len(self)))]
+        return self.cols[self.ptr[r] : self.ptr[r + 1]]
+
+    def __iter__(self):
+        return (self[r] for r in range(len(self)))
+
+    def lens(self) -> np.ndarray:
+        return np.diff(self.ptr)
+
+    def select_flat(self, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Flattened column sets of `rows`: (kk, cols) where kk[e] is the
+        index into `rows` and cols[e] the column, ordered row-major."""
+        rows = np.asarray(rows, np.int64)
+        ln = self.ptr[rows + 1] - self.ptr[rows]
+        total = int(ln.sum())
+        kk = np.repeat(np.arange(rows.size, dtype=np.int64), ln)
+        csum = np.zeros(rows.size + 1, np.int64)
+        np.cumsum(ln, out=csum[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], ln)
+        return kk, self.cols[np.repeat(self.ptr[rows], ln) + within].astype(np.int64)
+
+
 def make_hdpc(P: Params) -> np.ndarray:
     """Dense HDPC block [H, Kp+S] (reference lib/precode.c:60-83)."""
     H, n = P.H, P.Kp + P.S
@@ -82,18 +133,49 @@ def lt_row_cols(isis: np.ndarray, P: Params) -> list[np.ndarray]:
     return [idx[i][valid[i]].astype(np.int32) for i in range(idx.shape[0])]
 
 
-def binary_rows(P: Params, isis: np.ndarray | None = None, overhead: int = 0) -> list[np.ndarray]:
+def lt_rows_csr(isis: np.ndarray, P: Params) -> CSRRows:
+    """LT rows for the given ISIs as CSR (vectorized lt_row_cols)."""
+    idx, valid = lt_indices(np.asarray(isis, dtype=np.uint32), P)
+    lens = valid.sum(1)
+    ptr = np.zeros(idx.shape[0] + 1, np.int64)
+    np.cumsum(lens, out=ptr[1:])
+    return CSRRows(idx[valid].astype(np.int32), ptr)  # nonzero order is row-major
+
+
+def ldpc_rows_csr(P: Params) -> CSRRows:
+    """The S LDPC rows as CSR (vectorized ldpc_row_cols)."""
+    S, B, W, Pp = P.S, P.B, P.W, P.P
+    cols = np.arange(B, dtype=np.int64)
+    sub = cols // S
+    i = np.arange(S, dtype=np.int64)
+    all_rows = np.concatenate([cols % S, (cols + sub + 1) % S, (cols + 2 * (sub + 1)) % S,
+                               i, i, i])
+    all_cols = np.concatenate([cols, cols, cols,
+                               B + i, W + (i % Pp), W + ((i + 1) % Pp)])
+    order = np.argsort(all_rows, kind="stable")
+    ptr = np.zeros(S + 1, np.int64)
+    np.cumsum(np.bincount(all_rows, minlength=S), out=ptr[1:])
+    return CSRRows(all_cols[order].astype(np.int32), ptr)
+
+
+def binary_rows(P: Params, isis: np.ndarray | None = None, overhead: int = 0) -> CSRRows:
     """All binary (non-HDPC) rows of A in solver row order.
 
-    Returns a list of Kp + overhead + S column-index arrays: LT rows for
-    `isis` (default arange(Kp + overhead), the encoder case) followed by the
-    S LDPC rows.  The HDPC rows live in a separate dense block; the solver
-    composes [LT.. | LDPC.. | HDPC..] as its row-position space.
+    Returns a CSRRows (list-compatible) of Kp + overhead + S column-index
+    sets: LT rows for `isis` (default arange(Kp + overhead), the encoder
+    case) followed by the S LDPC rows.  The HDPC rows live in a separate
+    dense block; the solver composes [LT.. | LDPC.. | HDPC..] as its
+    row-position space.
     """
     if isis is None:
         isis = np.arange(P.Kp + overhead, dtype=np.uint32)
     assert len(isis) == P.Kp + overhead
-    return lt_row_cols(isis, P) + ldpc_row_cols(P)
+    lt = lt_rows_csr(isis, P)
+    ldpc = ldpc_rows_csr(P)
+    return CSRRows(
+        np.concatenate([lt.cols, ldpc.cols]),
+        np.concatenate([lt.ptr, lt.ptr[-1] + ldpc.ptr[1:]]),
+    )
 
 
 def dense_A(P: Params, isis: np.ndarray | None = None, overhead: int = 0) -> np.ndarray:

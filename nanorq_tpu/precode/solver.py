@@ -94,7 +94,7 @@ class SolveState:
     overhead: int
     NB: int  # number of binary rows (LT + LDPC)
     M: int  # total rows = NB + H
-    rows_cols: list[np.ndarray]  # binary-row column sets (original A entries)
+    rows_cols: object  # CSRRows (or list of arrays): binary-row column sets
     piv_rows: np.ndarray  # int32 [i]  D-row of triangle pivot position k
     piv_cols: np.ndarray  # int32 [i]  pivot column of position k
     u_cols: np.ndarray  # int64 [u]  inactive columns in dense order
@@ -115,15 +115,19 @@ class SolveState:
         return int(self.P.L - self.i)
 
 
-def _solve_core(P: Params, rows_cols: list[np.ndarray], overhead: int = 0) -> SolveState | None:
+def _solve_core(P: Params, rows_cols, overhead: int = 0) -> SolveState | None:
+    from nanorq_tpu.precode.matrix import CSRRows
+
     L, W, H, S = P.L, P.W, P.H, P.S
     NB = P.Kp + overhead + S
     M = NB + H
     assert len(rows_cols) == NB
+    if not isinstance(rows_cols, CSRRows):
+        rows_cols = CSRRows.from_list(rows_cols)
 
     # ---- adjacency (CSR over columns, binary rows only) ----
-    lens = np.fromiter((len(rc) for rc in rows_cols), np.int64, NB)
-    flat_cols = np.concatenate(rows_cols) if NB else np.zeros(0, np.int64)
+    lens = rows_cols.lens()
+    flat_cols = rows_cols.cols.astype(np.int64)
     flat_rows = np.repeat(np.arange(NB, dtype=np.int32), lens)
     csr_order = np.argsort(flat_cols, kind="stable")
     adj_rows = flat_rows[csr_order]
