@@ -351,14 +351,20 @@ class Decoder(_CodecBase):
             ok = st == SYM_ADDED
             src = ok & is_src
             if src.any():
-                if b.D is None:
-                    b.D = np.zeros((self._d_rows(), self.scheme.T), np.uint8)
                 pe = e[src]
-                pl = payloads[idxs[src]]
-                b.D[pe] = pl
+                pidx = idxs[src]
+                if pidx.size > 1 and pidx[-1] - pidx[0] == pidx.size - 1:
+                    pl = payloads[pidx[0] : pidx[-1] + 1]  # contiguous: no copy
+                else:
+                    pl = payloads[pidx]
                 self._write_symbols_coalesced(io, int(sbn), pe, b.K, pl)
                 b.got[pe] = True
                 b.nsrc += pe.size
+                if b.nsrc < b.K:  # incomplete: keep rows for a later repair
+                    if b.D is None:
+                        b.D = np.zeros((self._d_rows(), self.scheme.T), np.uint8)
+                    b.D[pe] = pl
+                # complete: repair is a no-op, the D rows would never be read
             for i in np.nonzero(ok & ~src)[0]:
                 b.repair.append((int(e[i]), payloads[idxs[i]].copy()))
                 b.rep_seen.add(int(e[i]))
