@@ -40,6 +40,20 @@ from nanorq_tpu.precode.solver import SolveState
 
 _WIDTHS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
+# Triangle staircase-gather planning knobs (see compile_device): candidate
+# prefix boundaries, quantized gather widths, and the DP's modeled cost of
+# one more gather launch / one more segment (slots-equivalent).  Module
+# scope so tools/bsweep-style probes can retune against hardware.
+CAND_GRID = tuple(sorted(set(
+    list(range(0, 16)) + list(range(16, 33, 2))
+    + [40, 48, 56, 64, 80, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512, 640, 768, 896]
+)))
+WIDTH_GRID = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
+              128, 160, 192, 256, 320, 384, 512, 768, 1024, 2048, 4096)
+TRI_RANGE_PENALTY = int(__import__("os").environ.get("NANORQ_TRI_RP", 768))
+TRI_SEG_PENALTY_CHUNKS = int(__import__("os").environ.get("NANORQ_TRI_SP", 8))  # x CB
+TRI_MAX_RANGES = int(__import__("os").environ.get("NANORQ_TRI_MR", 6))
+
 
 def _quant(n: int, grid=_WIDTHS) -> int:
     for w in grid:
@@ -297,65 +311,16 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     # width) + a fixed per-gather-launch penalty + a per-segment penalty.
     # Boundaries/widths come from fixed grids so decode schedules of one K'
     # keep hitting the same compiled program across loss patterns.
-    _CAND = [c for c in (0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768) if c < CB] + [CB]
-    _WQ = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 2048, 4096)
-    RANGE_PENALTY = 768  # slots-equivalent fixed cost of one more gather launch per chunk
-    SEG_PENALTY = 2 * CB * 64  # modeled fixed cost of one more segment
-    MAX_RANGES = 5
+    _CAND = [c for c in CAND_GRID if c < CB] + [CB]
+    _WQ = WIDTH_GRID
+    RANGE_PENALTY = TRI_RANGE_PENALTY  # slots-equivalent cost of one more gather launch per chunk
+    SEG_PENALTY = TRI_SEG_PENALTY_CHUNKS * CB  # modeled fixed cost of one more segment
+    MAX_RANGES = TRI_MAX_RANGES
 
-    def _wq(n: int) -> int:
-        for w in _WQ:
-            if n <= w:
-                return w
-        return int(_WQ[-1] * (1 + (n - 1) // _WQ[-1]))
-
-    def inner_ranges(a: int, b: int) -> tuple[float, list]:
-        """Min-cost prefix ranges covering chunks [a, b) (sorted degrees)."""
-        wmax = degs[a:b].max(0)  # [CB], non-increasing
-        wq_at = [(_wq(int(wmax[c])) if c < CB and wmax[c] > 0 else 0) for c in _CAND]
-        nc = len(_CAND)
-        # dp over candidate boundaries, <= MAX_RANGES ranges
-        INF = float("inf")
-        dp = [[INF] * nc for _ in range(MAX_RANGES + 1)]
-        bk = [[-1] * nc for _ in range(MAX_RANGES + 1)]
-        dp[0][0] = 0.0
-        for g in range(1, MAX_RANGES + 1):
-            for j in range(1, nc):
-                for ii in range(j):
-                    if dp[g - 1][ii] == INF:
-                        continue
-                    w = wq_at[ii]
-                    cost = dp[g - 1][ii] + (_CAND[j] - _CAND[ii]) * w + (RANGE_PENALTY if w else 0)
-                    if cost < dp[g][j]:
-                        dp[g][j] = cost
-                        bk[g][j] = ii
-        # terminal: boundary j covers everything if wmax is zero beyond it
-        last_nz = int(np.max(np.nonzero(wmax)[0], initial=-1)) + 1
-        best, best_gj = INF, None
-        for g in range(1, MAX_RANGES + 1):
-            for j in range(nc):
-                if _CAND[j] >= last_nz and dp[g][j] < best:
-                    best, best_gj = dp[g][j], (g, j)
-        if best_gj is None:  # no deps at all
-            return 0.0, []
-        bounds = []
-        g, j = best_gj
-        while g > 0:
-            ii = bk[g][j]
-            if ii < 0:
-                break
-            if wq_at[ii]:
-                bounds.append((_CAND[ii], _CAND[j], wq_at[ii]))
-            j = ii
-            g -= 1
-        bounds.reverse()
-        return (b - a) * best, bounds
-
-    # Batched per-(a, b) inner cost: identical model to inner_ranges, computed
-    # for all window starts a of one endpoint b in a few NumPy ops (the scalar
-    # DP was the compile-time hot spot at K' = 50511: ~1300 calls x ~1100
-    # Python loop iterations).  inner_ranges is kept for backtracking the
-    # chosen segments' bounds.
+    # Batched per-(a, b) inner cost: for all window starts a of one endpoint
+    # b in a few NumPy ops (a scalar Python DP here was the compile-time hot
+    # spot at K' = 50511).  inner_ranges backtracks the chosen segments'
+    # bounds with the same vectorized transition matrix.
     nc = len(_CAND)
     CANDa = np.asarray(_CAND, np.float64)
     WQA = np.asarray(_WQ, np.int64)
@@ -382,6 +347,42 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
             dpv = np.where(tri_mask[None], trans, np.inf).min(axis=1)
             best = np.minimum(best, np.where(term_ok, dpv, np.inf).min(axis=1))
         return (b - np.arange(a0, b)) * best  # scalar model scales by nq
+
+    def inner_ranges(a: int, b: int) -> tuple[float, list]:
+        """Min-cost prefix ranges covering chunks [a, b), with backtracking
+        (same DP as window_costs, single window + argmin backpointers)."""
+        run = degs_cand[a:b].max(0)  # [nc]
+        lastnz = int(nnz_row[a:b].max())
+        wq = np.where(run > 0, WQA[np.minimum(np.searchsorted(WQA, run), len(WQA) - 1)], 0)
+        pen = np.where(wq > 0, float(RANGE_PENALTY), 0.0)
+        dpv = np.full(nc, np.inf)
+        dpv[0] = 0.0
+        term_ok = CANDa >= lastnz
+        best, best_gj = np.inf, None
+        bks = []
+        for g in range(MAX_RANGES):
+            base = dpv + pen - CANDa * wq
+            trans = base[:, None] + wq[:, None] * CANDa[None, :]
+            trans = np.where(tri_mask, trans, np.inf)
+            bk = np.argmin(trans, axis=0)
+            dpv = trans[bk, np.arange(nc)]
+            bks.append(bk)
+            cand = np.where(term_ok, dpv, np.inf)
+            j = int(np.argmin(cand))
+            if cand[j] < best:
+                best, best_gj = float(cand[j]), (g, j)
+        if best_gj is None:  # no deps at all
+            return 0.0, []
+        bounds = []
+        g, j = best_gj
+        while g >= 0 and j > 0:
+            ii = int(bks[g][j])
+            if wq[ii]:
+                bounds.append((int(_CAND[ii]), int(_CAND[j]), int(wq[ii])))
+            j = ii
+            g -= 1
+        bounds.reverse()
+        return (b - a) * best, bounds
 
     INF = float("inf")
     dp = [INF] * (nchunks + 1)
