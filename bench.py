@@ -63,10 +63,11 @@ VMEM_CARRY_BYTES = 100 << 20  # keep Lpad * B * T under this
 def auto_blocks(K, T):
     """B for K values outside the tuned grid: largest power of two keeping
     the replay carry VMEM-resident, capped at 32."""
+    from nanorq_tpu.precode.device_schedule import default_cb
     from nanorq_tpu.rfc.params import params_init
 
     L = params_init(K).L
-    CB = 256 if L <= 2048 else (512 if L <= 16384 else 1024)
+    CB = default_cb(L)
     Lpad = -(-L // CB) * CB
     b = max(1, VMEM_CARRY_BYTES // (Lpad * T))
     b = min(32, 1 << (b.bit_length() - 1))

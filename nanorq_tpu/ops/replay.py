@@ -151,6 +151,8 @@ def _gather(pallas: bool, src, idx, gp=_REPLAY_GP):
         from nanorq_tpu.ops.pallas_kernels import gather_xor_pallas
 
         R, twmax = gp
+        n = idx.shape[0]
+        R = min(R, 8 if n <= 8 else 16 if n <= 16 else R)  # pad-to-R waste cap
         tw = src.shape[1] if twmax is None else min(twmax, src.shape[1])
         return gather_xor_pallas(src, idx, R=R, tw=tw)
     return gfmat.xor_reduce_gather(src, idx)

@@ -66,6 +66,14 @@ def _pad_rows(n: int) -> int:
     return max(8, _quant(n))
 
 
+def default_cb(L: int) -> int:
+    """Measured-on-v5e chunk size: mid-size triangles amortize per-chunk
+    overhead with bigger chunks; at large L the chunk-inverse matmul
+    dominates and smaller chunks win (staircase gathers keep the dep
+    traffic nearly CB-independent)."""
+    return 256 if L <= 2048 else (512 if L <= 16384 else 256)
+
+
 def _invert_tri_chunks(T: np.ndarray) -> None:
     """In-place GF(2) inversion of [n, CB, CB] unit-lower-triangular blocks:
     Tinv[r] = e_r ^ XOR_{c<r, T[r,c]=1} Tinv[c].  Native when available."""
@@ -246,8 +254,8 @@ class DeviceSchedule:
 def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     P = st.P
     L, i, u, M = P.L, st.i, st.u, st.M
-    if CB is None:  # measured on v5e: larger chunks win as L grows (launch-bound)
-        CB = 256 if L <= 2048 else (512 if L <= 16384 else 1024)
+    if CB is None:
+        CB = default_cb(L)
     Lpad = -(-L // CB) * CB
     u_pad = max(32, _quant(max(u, 1)))  # >= 32: int8 sublane-tile floor
     M_pad = _pad_rows(M + 1)
@@ -329,6 +337,11 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     degs_cand[:, in_cb] = degs[:, [_CAND[ci] for ci in in_cb]]
     nnz_row = np.count_nonzero(degs, axis=1)  # rows are non-increasing
     tri_mask = np.triu(np.ones((nc, nc), bool), 1)  # ii < j
+    # effective gathered rows of a range: the gather kernel pads its row
+    # count to the R it runs at (8 / 16 / 32) — model that, or the DP picks
+    # tiny ranges whose padding wastes more DMAs than they save
+    rlen = CANDa[None, :] - CANDa[:, None]  # [ii, j]
+    pad_len = np.where(rlen <= 8, 8.0, np.where(rlen <= 16, 16.0, np.ceil(rlen / 32.0) * 32.0))
 
     def window_costs(b: int, a0: int) -> np.ndarray:
         """inner_ranges(a, b)[0] for every a in [a0, b), vectorized."""
@@ -342,8 +355,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         best = np.full(na, np.inf)
         term_ok = CANDa[None, :] >= lastnz[:, None]
         for _ in range(MAX_RANGES):
-            base = dpv + pen - CANDa[None, :] * wq
-            trans = base[:, :, None] + wq[:, :, None] * CANDa[None, None, :]
+            trans = (dpv + pen)[:, :, None] + wq[:, :, None] * pad_len[None]
             dpv = np.where(tri_mask[None], trans, np.inf).min(axis=1)
             best = np.minimum(best, np.where(term_ok, dpv, np.inf).min(axis=1))
         return (b - np.arange(a0, b)) * best  # scalar model scales by nq
@@ -361,8 +373,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         best, best_gj = np.inf, None
         bks = []
         for g in range(MAX_RANGES):
-            base = dpv + pen - CANDa * wq
-            trans = base[:, None] + wq[:, None] * CANDa[None, :]
+            trans = (dpv + pen)[:, None] + wq[:, None] * pad_len
             trans = np.where(tri_mask, trans, np.inf)
             bk = np.argmin(trans, axis=0)
             dpv = trans[bk, np.arange(nc)]

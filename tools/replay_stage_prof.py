@@ -45,7 +45,7 @@ T = 1280
 t = B * T
 
 P = params_init(K)
-ds = encoder_schedule(P.Kp)
+ds = encoder_schedule(P.Kp, CB=int(os.environ["NANORQ_CB"]) if "NANORQ_CB" in os.environ else None)
 arr = device_arrays(ds)
 a = dict(arr)
 pallas = a.pop("pallas")
