@@ -48,8 +48,15 @@ CAND_GRID = tuple(sorted(set(
     list(range(0, 16)) + list(range(16, 33, 2))
     + [40, 48, 56, 64, 80, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512, 640, 768, 896]
 )))
-WIDTH_GRID = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
-              128, 160, 192, 256, 320, 384, 512, 768, 1024, 2048, 4096)
+# power-of-two gather widths only: denser grids (3, 5, 6, ...) fill slots
+# better but measured *slower* per slot in the DMA gather kernel; pow2-wide
+# scratch tiles win end to end (A/B at K=50000: 27.96 vs 28.32 ms full)
+WIDTH_GRID = tuple(
+    (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
+     128, 160, 192, 256, 320, 384, 512, 768, 1024, 2048, 4096)
+    if __import__("os").environ.get("NANORQ_TRI_WQ") == "dense"
+    else (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+)
 TRI_RANGE_PENALTY = int(__import__("os").environ.get("NANORQ_TRI_RP", 768))
 TRI_SEG_PENALTY_CHUNKS = int(__import__("os").environ.get("NANORQ_TRI_SP", 8))  # x CB
 TRI_MAX_RANGES = int(__import__("os").environ.get("NANORQ_TRI_MR", 6))
@@ -479,6 +486,9 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     # --- U_t: triangle rows' original inactive-column entries ---
     ucf = st.ucol_of[cols_flat]
     um = ucf >= 0
+    # w_small=4: u-degree is 2-3 for ~96% of triangle rows, but a width-3
+    # pass measured *slower* than width-4 despite 25% fewer slots (the
+    # gather kernel prefers power-of-two widths)
     ut = _gather_plan_flat(Lpad, posmap[kk[um]], ucf[um], sentinel=u_pad, w_small=4)
 
     # --- output gather ---

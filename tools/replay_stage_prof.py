@@ -165,6 +165,50 @@ def mid_body(i, y):
 
 timed("mid(2-4)", mid_body, y0)
 
+# --- mid sub-stages ---
+from nanorq_tpu.ops.replay import VINV_KB, _gf256mm
+
+if a["mhd_bits"] is not None:
+    def hdpc_body(i, y):
+        hv = _gf256mm(pallas, _unpack_bits(a["mhd_bits"]), y[:Lpad], CB)
+        return y.at[: hv.shape[0]].set(hv)
+
+    timed("mid:hdpc_mm", hdpc_body, y0)
+
+
+def vinv_body(i, y):
+    u_pad = a["vinv_bits"].shape[0] // 8
+    xu = _gf256mm(pallas, _unpack_bits(a["vinv_bits"]), y[:u_pad], min(u_pad, VINV_KB))
+    return y.at[:u_pad].set(xu)
+
+
+timed("mid:vinv_mm", vinv_body, y0)
+
+
+def ut_body(i, y):
+    w = _apply_plan(pallas, y, a["ut"], y[:Lpad])
+    return y.at[:Lpad].set(w)
+
+
+timed("mid:ut_apply", ut_body, y0)
+
+
+def bsel_body(i, y):
+    u_pad = a["vinv_bits"].shape[0] // 8
+    zs = _apply_plan(pallas, y, a["bsel"], y[:u_pad])
+    return y.at[:u_pad].set(zs)
+
+
+timed("mid:bsel", bsel_body, y0)
+
+
+def takerows_body(i, y):
+    r = take_rows(pallas, y, a["piv_rows"])
+    return y.at[:Lpad].set(r)
+
+
+timed("mid:take_rows", takerows_body, y0)
+
 # --- LT combine of all Kp ---
 plan_all = lt_plan(np.arange(P.Kp, dtype=np.uint32), P)
 C0 = _replay_jit(a, Dj, pallas)
