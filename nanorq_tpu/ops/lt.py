@@ -31,12 +31,21 @@ def _pad_rows(n: int) -> int:
 
 @dataclass
 class LTPlan:
-    """Neighbor-gather plan for a fixed batch of ISIs."""
+    """Neighbor-gather plan for a fixed batch of ISIs.
+
+    Two layouts: the legacy row-aligned `plan` (passes + overflow, as in
+    ops.replay._apply_plan), and the degree-sorted class layout (`classes` +
+    `sel`): symbols sorted by neighbor count, gathered in power-of-two width
+    classes with near-tight fill, then placed into ISI order by one width-1
+    gather.  Sorted costs ~25% fewer gather slots at the RFC degree
+    distribution (avg degree ~7.2, mass at 4-6)."""
 
     n: int  # number of symbols
     n_pad: int  # padded output rows
     L: int  # C rows; index L = zero sentinel
-    plan: tuple  # jnp (passes, overflow) as in ops.replay._apply_plan
+    plan: tuple | None = None  # jnp (passes, overflow)
+    classes: tuple | None = None  # jnp idx [m_i, w_i] per width class
+    sel: object | None = None  # jnp int32 [n_pad] into concat(classes)+zero
 
 
 _plan_lock = Lock()
@@ -44,20 +53,20 @@ _plan_cache: OrderedDict[bytes, LTPlan] = OrderedDict()
 _PLAN_CAPACITY = 128
 
 
-def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8) -> LTPlan:
+def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "sorted") -> LTPlan:
     """Build (or fetch) the neighbor-gather plan for a batch of ISIs.
 
-    Cached keyed on (K', w_small, isis): steady-state encoders emit the same
-    ESI window every call (reference decode_row has no per-call setup to
+    Cached keyed on (K', mode/w_small, isis): steady-state encoders emit the
+    same ESI window every call (reference decode_row has no per-call setup to
     amortize, nanorq.c:184-204; our batched plan does, so it must be cached —
     the plan also holds device-resident index tensors, so a hit skips both
     host planning and re-upload).
     """
-    from nanorq_tpu.precode.device_schedule import _gather_plan_flat
     from nanorq_tpu.ops.replay import _plan_arrays
+    from nanorq_tpu.precode.device_schedule import _gather_plan_flat
 
     isis = np.asarray(isis, dtype=np.uint32)
-    key = b"%d|%d|" % (P.Kp, w_small) + isis.tobytes()
+    key = b"%d|%d|%s|" % (P.Kp, w_small, mode.encode()) + isis.tobytes()
     with _plan_lock:
         hit = _plan_cache.get(key)
         if hit is not None:
@@ -70,17 +79,51 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8) -> LTPlan:
     n = isis.shape[0]
     n_pad = _pad_rows(n)
     idx, valid = lt_indices(isis, P)
-    erows, ecols = np.nonzero(valid)
-    gp = _gather_plan_flat(
-        n_pad, erows.astype(np.int64), idx[erows, ecols].astype(np.int64),
-        sentinel=P.L, w_small=w_small,
-    )
-    plan = LTPlan(n=n, n_pad=n_pad, L=P.L, plan=_plan_arrays(gp))
+    if mode == "sorted":
+        plan = _sorted_plan(idx, valid, n, n_pad, P.L)
+    else:
+        erows, ecols = np.nonzero(valid)
+        gp = _gather_plan_flat(
+            n_pad, erows.astype(np.int64), idx[erows, ecols].astype(np.int64),
+            sentinel=P.L, w_small=w_small,
+        )
+        plan = LTPlan(n=n, n_pad=n_pad, L=P.L, plan=_plan_arrays(gp))
     with _plan_lock:
         _plan_cache[key] = plan
         while len(_plan_cache) > _PLAN_CAPACITY:
             _plan_cache.popitem(last=False)
     return plan
+
+
+def _sorted_plan(idx: np.ndarray, valid: np.ndarray, n: int, n_pad: int, L: int) -> LTPlan:
+    """Degree-sorted power-of-two class plan + one placement gather."""
+    deg = valid.sum(1).astype(np.int64)
+    order = np.argsort(-deg, kind="stable")
+    sdeg = deg[order]
+    wq = np.zeros(n, np.int64)
+    nz = sdeg > 0
+    wq[nz] = 1 << np.ceil(np.log2(np.maximum(sdeg[nz], 1))).astype(np.int64)
+    wq[sdeg == 1] = 1
+    classes = []
+    sel = np.full(n_pad, -1, np.int64)
+    pos = 0
+    start = 0
+    while start < n and wq[start] > 0:
+        w = int(wq[start])
+        end = int(np.searchsorted(-wq, -w, side="right"))
+        rows = order[start:end]
+        m = rows.size
+        vm = valid[rows]
+        er, ec = np.nonzero(vm)
+        cp = np.cumsum(vm, axis=1) - 1
+        ix = np.full((m, w), L, np.int32)
+        ix[er, cp[er, ec]] = idx[rows][er, ec]
+        classes.append(jnp.asarray(ix))
+        sel[rows] = pos + np.arange(m)
+        pos += m
+        start = end
+    sel[sel < 0] = pos  # deg-0 and padding rows -> zero row
+    return LTPlan(n=n, n_pad=n_pad, L=L, classes=tuple(classes), sel=jnp.asarray(sel.astype(np.int32)))
 
 
 @partial(jax.jit, static_argnames=("n_pad", "pallas"))
@@ -91,10 +134,40 @@ def _lt_apply(plan, C_ext: jnp.ndarray, n_pad: int, pallas: bool) -> jnp.ndarray
     return _apply_plan(pallas, C_ext, plan, jnp.zeros((n_pad, t), jnp.uint8), gp=_LT_GP)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "pallas"))
+def _lt_apply_sorted(classes, sel, C_ext: jnp.ndarray, n_pad: int, pallas: bool) -> jnp.ndarray:
+    from nanorq_tpu.ops.replay import _LT_GP, _gather
+
+    t = C_ext.shape[1]
+    reds = [_gather(pallas, C_ext, ix, gp=_LT_GP) for ix in classes]
+    reds.append(jnp.zeros((1, t), jnp.uint8))
+    red = jnp.concatenate(reds, axis=0)
+    if pallas and red.shape[1] % 1024 == 0:
+        return _gather(pallas, red, sel[:, None], gp=_LT_GP)
+    return jnp.take(red, sel, axis=0)
+
+
+def plan_tree(plan: LTPlan) -> tuple:
+    """(pytree, is_sorted) for passing a plan's arrays through shard_map."""
+    if plan.classes is not None:
+        return (plan.classes, plan.sel), True
+    return plan.plan, False
+
+
+def lt_apply_local(tree, is_sorted: bool, C_ext: jnp.ndarray, n_pad: int, pallas: bool) -> jnp.ndarray:
+    """Apply a plan's pytree (from plan_tree) to a local C_ext shard."""
+    if is_sorted:
+        classes, sel = tree
+        return _lt_apply_sorted(classes, sel, C_ext, n_pad, pallas)
+    return _lt_apply(tree, C_ext, n_pad, pallas)
+
+
 def lt_combine(C: jnp.ndarray, plan: LTPlan, backend: str | None = None) -> jnp.ndarray:
     """C [L, t] -> symbols [n_pad, t] for the plan's ISIs (row order = isis)."""
     from nanorq_tpu.ops.replay import default_backend
 
     pallas = (backend or default_backend()) == "pallas"
     C_ext = jnp.concatenate([C, jnp.zeros((1, C.shape[1]), jnp.uint8)], axis=0)
+    if plan.classes is not None:
+        return _lt_apply_sorted(plan.classes, plan.sel, C_ext, plan.n_pad, pallas)
     return _lt_apply(plan.plan, C_ext, plan.n_pad, pallas)

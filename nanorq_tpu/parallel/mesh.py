@@ -43,14 +43,15 @@ def replay_sharded(arr: dict, D: jnp.ndarray, mesh: Mesh):
 
 def lt_sharded(C: jnp.ndarray, plan, mesh: Mesh, backend: str | None = None):
     """Sharded LT combine: C [L, n_dev*B*T] split on width."""
-    from nanorq_tpu.ops.lt import _lt_apply
+    from nanorq_tpu.ops.lt import lt_apply_local, plan_tree
     from nanorq_tpu.ops.replay import default_backend
 
     pallas = (backend or default_backend()) == "pallas"
+    tree, is_sorted = plan_tree(plan)
 
     def local(parr, C_local):
         C_ext = jnp.concatenate([C_local, jnp.zeros((1, C_local.shape[1]), jnp.uint8)], axis=0)
-        return _lt_apply(parr, C_ext, plan.n_pad, pallas)
+        return lt_apply_local(parr, is_sorted, C_ext, plan.n_pad, pallas)
 
     f = shard_map(
         local,
@@ -59,21 +60,22 @@ def lt_sharded(C: jnp.ndarray, plan, mesh: Mesh, backend: str | None = None):
         out_specs=P(None, "blocks"),
         check_vma=False,
     )
-    return jax.jit(f)(plan.plan, C)
+    return jax.jit(f)(tree, C)
 
 
 def codec_step_sharded(arr: dict, plan, D: jnp.ndarray, mesh: Mesh):
     """Full device step (replay + LT) under one jitted shard_map."""
-    from nanorq_tpu.ops.lt import _lt_apply
+    from nanorq_tpu.ops.lt import lt_apply_local, plan_tree
     from nanorq_tpu.ops.replay import _replay_jit, default_backend
 
     a = dict(arr)
     pallas = a.pop("pallas")
+    tree, is_sorted = plan_tree(plan)
 
     def local(a_, parr, D_local):
         C = _replay_jit(a_, D_local, pallas)
         C_ext = jnp.concatenate([C, jnp.zeros((1, C.shape[1]), jnp.uint8)], axis=0)
-        return C, _lt_apply(parr, C_ext, plan.n_pad, pallas)
+        return C, lt_apply_local(parr, is_sorted, C_ext, plan.n_pad, pallas)
 
     f = shard_map(
         local,
@@ -82,7 +84,7 @@ def codec_step_sharded(arr: dict, plan, D: jnp.ndarray, mesh: Mesh):
         out_specs=(P(None, "blocks"), P(None, "blocks")),
         check_vma=False,
     )
-    return jax.jit(f)(a, plan.plan, D)
+    return jax.jit(f)(a, tree, D)
 
 
 def shard_width(D: np.ndarray, mesh: Mesh):
