@@ -349,8 +349,12 @@ def main():
             blocks -= 1
         iters = args.iters if K <= 5000 else max(4, args.iters // 4)
         r = bench_K(K, args.T, blocks, iters, rng)
-        if args.pipe and K in (1000, 5000, 10000):  # multi-block solve hiding
-            r["decode_pipe"], r["pipe_speedup"] = bench_decode_pipe(K, args.T, 8, 3)
+        if args.pipe and K in (5000, 10000, 50000):  # multi-block solve hiding
+            # speedup-only metric: through the axon relay, the absolute
+            # number is dominated by per-pattern schedule-tensor uploads
+            # (~20 MB/s tunnel), identical in both arms; the ratio isolates
+            # the threaded solve + async-dispatch overlap of repair_all
+            _, r["pipe_speedup"] = bench_decode_pipe(K, args.T, 8, 3)
         base = REF_BASELINE.get(K)
         if base:
             r["vs_ref"] = round(
@@ -367,8 +371,8 @@ def main():
             f"agg {r['agg']:.2f} Gbps ({r.get('vs_ref', 0):.2f}x), "
             f"solve {r['solve_ms']:.0f}ms/{r['dec_solve_ms']:.0f}ms"
             + (
-                f", pipe {r['decode_pipe']:.2f} Gbps ({r['pipe_speedup']:.2f}x vs serial)"
-                if "decode_pipe" in r
+                f", pipe {r['pipe_speedup']:.2f}x vs serial"
+                if "pipe_speedup" in r
                 else ""
             )
         )

@@ -79,3 +79,23 @@ def test_lt_combine_systematic(K):
         for c in idx[r][valid[r]]:
             want ^= Cnp[c]
         assert np.array_equal(sym[r], want)
+
+
+@pytest.mark.parametrize("K", [100, 1000, 5000])
+def test_lt_plan_sorted_matches_flat(K):
+    """The degree-sorted class layout is a pure re-planning: identical output
+    to the flat row-aligned plan for arbitrary ISI batches."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.ops.lt import lt_combine, lt_plan
+
+    P = params_init(K)
+    rng = np.random.default_rng(3 * K)
+    C = jnp.asarray(rng.integers(0, 256, (P.L, 64), dtype=np.uint8))
+    isis = np.r_[
+        rng.choice(P.Kp, size=K // 2, replace=False),
+        np.arange(P.Kp, P.Kp + 9),
+    ].astype(np.uint32)
+    a = np.asarray(lt_combine(C, lt_plan(isis, P, mode="flat")))[: isis.size]
+    b = np.asarray(lt_combine(C, lt_plan(isis, P, mode="sorted")))[: isis.size]
+    assert np.array_equal(a, b)
