@@ -348,24 +348,30 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     # count to the R it runs at (8 / 16 / 32) — model that, or the DP picks
     # tiny ranges whose padding wastes more DMAs than they save
     rlen = CANDa[None, :] - CANDa[:, None]  # [ii, j]
-    pad_len = np.where(rlen <= 8, 8.0, np.where(rlen <= 16, 16.0, np.ceil(rlen / 32.0) * 32.0))
+    pad_len = np.where(rlen <= 8, 8.0, np.where(rlen <= 16, 16.0, np.ceil(rlen / 32.0) * 32.0)).astype(np.float32)
 
-    def window_costs(b: int, a0: int) -> np.ndarray:
-        """inner_ranges(a, b)[0] for every a in [a0, b), vectorized."""
-        run = np.maximum.accumulate(degs_cand[a0:b][::-1], axis=0)[::-1]  # [na, nc]
-        lastnz = np.maximum.accumulate(nnz_row[a0:b][::-1])[::-1]  # [na]
+    def window_costs(b: int, avals: np.ndarray) -> np.ndarray:
+        """inner_ranges(a, b)[0] for each window start a in `avals` (desc)."""
+        a0 = int(avals.min())
+        run_rev = np.maximum.accumulate(degs_cand[a0:b][::-1], axis=0)  # [k] = max of last k+1 rows
+        nnz_rev = np.maximum.accumulate(nnz_row[a0:b][::-1])
+        k = b - 1 - avals
+        run = run_rev[k]  # [na, nc]
+        lastnz = nnz_rev[k]  # [na]
         wq = np.where(run > 0, WQA[np.minimum(np.searchsorted(WQA, run), len(WQA) - 1)], 0)
-        pen = np.where(wq > 0, float(RANGE_PENALTY), 0.0)
-        na = b - a0
-        dpv = np.full((na, nc), np.inf)
+        # transition matrix M[a, ii, j] = pen[ii] + wq[ii] * padded_len(ii, j)
+        M = (wq.astype(np.float32)[:, :, None] * pad_len[None]
+             + np.where(wq > 0, np.float32(RANGE_PENALTY), np.float32(0))[:, :, None])
+        M[:, ~tri_mask] = np.inf
+        na = avals.size
+        dpv = np.full((na, nc), np.inf, np.float32)
         dpv[:, 0] = 0.0
-        best = np.full(na, np.inf)
+        best = np.full(na, np.inf, np.float32)
         term_ok = CANDa[None, :] >= lastnz[:, None]
         for _ in range(MAX_RANGES):
-            trans = (dpv + pen)[:, :, None] + wq[:, :, None] * pad_len[None]
-            dpv = np.where(tri_mask[None], trans, np.inf).min(axis=1)
+            dpv = (dpv[:, :, None] + M).min(axis=1)
             best = np.minimum(best, np.where(term_ok, dpv, np.inf).min(axis=1))
-        return (b - np.arange(a0, b)) * best  # scalar model scales by nq
+        return (b - avals) * best.astype(np.float64)  # scalar model scales by nq
 
     def inner_ranges(a: int, b: int) -> tuple[float, list]:
         """Min-cost prefix ranges covering chunks [a, b), with backtracking
@@ -406,14 +412,18 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     dp = [INF] * (nchunks + 1)
     back = [-1] * (nchunks + 1)
     dp[0] = 0.0
+    # segment-length grid: dense short lengths, quantized long ones — the
+    # full 64-wide window was the compile-time hot spot at 200+ chunks
+    seg_lens = np.array([1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64])
     for b in range(1, nchunks + 1):
-        a0 = max(0, b - 64)
-        costs = window_costs(b, a0)
-        for a in range(a0, b):
-            v = dp[a] + costs[a - a0] + SEG_PENALTY
+        offs = seg_lens[seg_lens <= b]
+        avals = b - offs
+        costs = window_costs(b, avals)
+        for a, c in zip(avals, costs):
+            v = dp[a] + c + SEG_PENALTY
             if v < dp[b]:
                 dp[b] = v
-                back[b] = a
+                back[b] = int(a)
     merged = []
     b = nchunks
     while b > 0:
