@@ -13,8 +13,10 @@
 // caller copies results into NumPy arrays and frees the handle.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 #if defined(__AVX2__) || defined(__SSSE3__)
@@ -22,6 +24,21 @@
 #endif
 
 namespace {
+
+// NRQ_TIMING=1 in the environment prints per-phase solve timings to stderr.
+struct PhaseTimer {
+  bool on;
+  struct timespec t0;
+  PhaseTimer() : on(getenv("NRQ_TIMING") != nullptr) { clock_gettime(CLOCK_MONOTONIC, &t0); }
+  void mark(const char* name) {
+    if (!on) return;
+    struct timespec t1;
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    fprintf(stderr, "nrq_solve %-10s %6.1f ms\n", name,
+            (t1.tv_sec - t0.tv_sec) * 1e3 + (t1.tv_nsec - t0.tv_nsec) / 1e6);
+    t0 = t1;
+  }
+};
 
 uint8_t GF_MUL[256][256];
 uint8_t OCT_INV[256];
@@ -112,6 +129,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
                 const uint8_t* hdpc) {
   const int M = NB + H;
   Solver* out = new Solver();
+  PhaseTimer pt;
 
   // ---- column adjacency (transpose of the binary rows) ----
   const int64_t nnz = row_ptr[NB];
@@ -127,6 +145,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
         col_rows[cur[row_cols[e]]++] = r;
   }
 
+  pt.mark("adj");
   // ---- phase 1: peel (greedy degree-1/2 selection, inactivation) ----
   std::vector<int32_t> nnzV(NB, 0);
   for (int r = 0; r < NB; r++)
@@ -209,6 +228,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   std::vector<int32_t> pivpos_of_col(L, -1);
   for (int k = 0; k < i; k++) pivpos_of_col[pc[k]] = k;
 
+  pt.mark("peel");
   // ---- U: dense inactive block [M, u] ----
   std::vector<uint8_t> U((size_t)M * u, 0);
   auto Urow = [&](int r) { return U.data() + (size_t)r * u; };
@@ -218,6 +238,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
       if (j >= 0) Urow(r)[j] = 1;
     }
 
+  pt.mark("ubuild");
   // ---- S1a: triangle forward substitution applied to U ----
   for (int k = 0; k < i; k++) {
     int c = pc[k];
@@ -228,6 +249,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
       if (p > k && p < INT32_MAX) row_xor(Urow(r), srcrow, u);
     }
   }
+  pt.mark("s1a");
   // ---- S1b: eliminate triangle cols from non-pivot binary rows ----
   for (int k = 0; k < i; k++) {
     int c = pc[k];
@@ -238,6 +260,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     }
   }
 
+  pt.mark("s1b");
   std::vector<uint8_t> U_pre(U);  // Schur snapshot (binary rows)
 
   // ---- dense solve: order, GF(2) first when enough binary rows ----
@@ -271,17 +294,25 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
 
   if (rank < L) {
     out->hdpc_used = 1;
-    // fill HDPC inactive block and eliminate vs triangle pivots
+    // fill HDPC inactive block and eliminate vs triangle pivots.
+    // k outermost: each triangle U row is streamed ONCE while the H output
+    // rows (H*u bytes) stay L1-resident — h-outermost re-read the whole
+    // [i, u] block H times and was the solve's dominant cost at large K'
     for (int h = 0; h < H; h++) {
       uint8_t* hrow = Urow(NB + h);
       const uint8_t* ah = hdpc + (size_t)h * L;
       for (int j = 0; j < u; j++) hrow[j] = ah[uc[j]];
-      for (int k = 0; k < i; k++) {
-        uint8_t beta = ah[pc[k]];
-        if (beta) row_axpy(hrow, Urow(pr[k]), beta, u);
-      }
-      memcpy(U_pre.data() + (size_t)(NB + h) * u, hrow, u);
     }
+    for (int k = 0; k < i; k++) {
+      const uint8_t* srcrow = Urow(pr[k]);
+      const int32_t c = pc[k];
+      for (int h = 0; h < H; h++) {
+        uint8_t beta = hdpc[(size_t)h * L + c];
+        if (beta) row_axpy(Urow(NB + h), srcrow, beta, u);
+      }
+    }
+    for (int h = 0; h < H; h++)
+      memcpy(U_pre.data() + (size_t)(NB + h) * u, Urow(NB + h), u);
     // GF(256) elimination from position i over all rows
     for (int p = i; p < L; p++) {
       int jc = p - i;
@@ -304,6 +335,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     }
   }
 
+  pt.mark("dense");
   // ---- Schur pivot block + inverse ----
   out->uschur_sel.resize((size_t)u * u);
   for (int s = 0; s < u; s++)
@@ -344,6 +376,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     }
   }
 
+  pt.mark("schur");
   out->status = 0;
   return out;
 }
