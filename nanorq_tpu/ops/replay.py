@@ -146,14 +146,26 @@ _REPLAY_GP = (32, 20480)
 _LT_GP = (8, None)
 
 
+_GATHER_MODE = __import__("os").environ.get("NANORQ_GATHER", "auto")  # auto|xla|pallas
+# Payload width where the DMA gather kernel starts beating XLA's gather
+# (measured on v5e: at t=40960 the DMA kernel is ~4x XLA; at t<=6400 XLA
+# wins — narrow row tiles pay per-DMA issue cost, and a pallas ANY-space
+# operand forces per-chunk copies of the trisolve carry)
+_PALLAS_GATHER_MIN_T = 16384
+
+
 def _gather(pallas: bool, src, idx, gp=_REPLAY_GP):
-    if pallas and src.shape[1] % 1024 == 0:
+    t = src.shape[1]
+    use_pallas = pallas and t % 1024 == 0 and (
+        _GATHER_MODE == "pallas" or (_GATHER_MODE == "auto" and t >= _PALLAS_GATHER_MIN_T)
+    )
+    if use_pallas:
         from nanorq_tpu.ops.pallas_kernels import gather_xor_pallas
 
         R, twmax = gp
         n = idx.shape[0]
         R = min(R, 8 if n <= 8 else 16 if n <= 16 else R)  # pad-to-R waste cap
-        tw = src.shape[1] if twmax is None else min(twmax, src.shape[1])
+        tw = t if twmax is None else min(twmax, t)
         return gather_xor_pallas(src, idx, R=R, tw=tw)
     return gfmat.xor_reduce_gather(src, idx)
 

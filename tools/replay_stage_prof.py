@@ -202,12 +202,12 @@ def bsel_body(i, y):
 timed("mid:bsel", bsel_body, y0)
 
 
-def takerows_body(i, y):
-    r = take_rows(pallas, y, a["piv_rows"])
-    return y.at[:Lpad].set(r)
+def takerows_body(i, D):
+    r = take_rows(pallas, D, a["piv_rows"])  # piv_rows indexes D's M_pad rows
+    return D.at[:Lpad].set(r)
 
 
-timed("mid:take_rows", takerows_body, y0)
+timed("mid:take_rows", takerows_body, Dj)
 
 # --- LT combine of all Kp ---
 plan_all = lt_plan(np.arange(P.Kp, dtype=np.uint32), P)
@@ -216,7 +216,8 @@ C0 = _replay_jit(a, Dj, pallas)
 
 def lt_body(i, C):
     s = lt_combine(C, plan_all)
-    return C.at[: P.L].set(s[: P.L])
+    m = min(s.shape[0], P.L)
+    return C.at[:m].set(s[:m])
 
 
 timed("lt(all Kp)", lt_body, C0)
