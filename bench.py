@@ -56,7 +56,7 @@ REF_BASELINE = {  # Mb/s from BASELINE.md (graph.png)
 # blocks per batch, tuned per K on v5e (tools/bsweep.py): the structured
 # replay's z carry [Lpad, B*T] must stay under XLA's ~105 MB VMEM-promotion
 # bound or chunk gathers fall off the HBM random-row cliff
-DEFAULT_B = {100: 32, 500: 32, 1000: 32, 5000: 8, 10000: 4, 50000: 1}
+DEFAULT_B = {100: 32, 500: 32, 1000: 32, 5000: 8, 10000: 8, 50000: 1}
 VMEM_CARRY_BYTES = 100 << 20  # keep Lpad * B * T under this
 
 

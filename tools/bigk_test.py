@@ -8,7 +8,7 @@ from nanorq_tpu.precode.device_schedule import replay_structured_numpy
 
 K, T, B = 10000, 1280, 16
 P = params_init(K)
-t0=time.time(); ds = encoder_schedule(P.Kp); print(f"solve+compile: {time.time()-t0:.1f}s nchunks={ds.nchunks} u={ds.u} segs={[(seg.tpass.shape, [ix.shape for ix,_ in seg.tov]) for seg in ds.tri]}")
+t0=time.time(); ds = encoder_schedule(P.Kp); print(f"solve+compile: {time.time()-t0:.1f}s nchunks={ds.nchunks} u={ds.u} segs={[[(a, b, ix.shape[2]) for a, b, ix in seg.ranges] for seg in ds.tri]}")
 arr = device_arrays(ds); a = dict(arr); pall = a.pop("pallas")
 rng = np.random.default_rng(0)
 # correctness (small width, numpy oracle)

@@ -22,5 +22,5 @@ for CB in CBs:
         return jax.lax.fori_loop(0, N, lambda i, Dc: Dc.at[:P.L].set(_replay_jit(a, Dc, pall)), Dx)
     t0=time.time(); o=loop(Dj); _=np.asarray(o[0,:4]); c=time.time()-t0
     t0=time.time(); o=loop(Dj); _=np.asarray(o[0,:4]); per=(time.time()-t0-0.035)/N
-    print(f"CB={CB}: segs={[(s.tpass.shape, [ix.shape for ix,_ in s.tov]) for s in ds.tri]}")
+    print(f"CB={CB}: segs={[[(a, b, ix.shape[2]) for a, b, ix in s.ranges] for s in ds.tri]}")
     print(f"CB={CB}: replay {1e3*per:.1f}ms -> {8*K*T*B/per/1e9:.2f} Gbps (compile {c:.0f}s)")

@@ -2,7 +2,7 @@
 
 Times, with the bench's chained-iteration methodology:
   full        the complete 6-stage replay
-  tri_gather  only the per-chunk tpass gathers (scan, no matmul/overflow)
+  tri_gather  only the per-chunk staircase-range gathers (scan, no matmul)
   tri_matmul  only the per-chunk GF(2) chunk-inverse matmuls
   tri_ov      only the per-chunk overflow gathers + width-1 selects
   tri         one full trisolve
