@@ -1,8 +1,13 @@
 """CLI decoder: data.rq -> output file (reference decode.c parity)."""
 
 import argparse
+import os
 import struct
 import sys
+
+# persistent XLA cache: repeat CLI invocations skip device recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nanorq_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 from nanorq_tpu.codec.api import SYM_ERR, Decoder
 from nanorq_tpu.io.ioctx import FileIO

@@ -7,10 +7,14 @@ drop and emits dropped+5 repair symbols per block, like the reference
 """
 
 import argparse
+import os
 import random
 import struct
 import sys
 
+# persistent XLA cache: repeat CLI invocations skip device recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nanorq_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 from nanorq_tpu.codec.api import Encoder
 from nanorq_tpu.codec.oti import make_tag

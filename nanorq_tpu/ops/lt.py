@@ -53,7 +53,7 @@ _plan_cache: OrderedDict[bytes, LTPlan] = OrderedDict()
 _PLAN_CAPACITY = 128
 
 
-def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "sorted") -> LTPlan:
+def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "auto") -> LTPlan:
     """Build (or fetch) the neighbor-gather plan for a batch of ISIs.
 
     Cached keyed on (K', mode/w_small, isis): steady-state encoders emit the
@@ -61,11 +61,19 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "sorted")
     amortize, nanorq.c:184-204; our batched plan does, so it must be cached —
     the plan also holds device-resident index tensors, so a hit skips both
     host planning and re-upload).
+
+    mode="auto" picks the layout by batch size: degree-sorted classes for
+    large emission windows (fewer gather slots), the flat row-aligned plan
+    for small batches — its [n_pad, 8] shape is canonical across loss
+    patterns, so every decode repair hits one compiled XLA program, while
+    sorted class shapes vary per pattern and would recompile per block.
     """
     from nanorq_tpu.ops.replay import _plan_arrays
     from nanorq_tpu.precode.device_schedule import _gather_plan_flat
 
     isis = np.asarray(isis, dtype=np.uint32)
+    if mode == "auto":
+        mode = "sorted" if isis.size >= 2048 else "flat"
     key = b"%d|%d|%s|" % (P.Kp, w_small, mode.encode()) + isis.tobytes()
     with _plan_lock:
         hit = _plan_cache.get(key)
