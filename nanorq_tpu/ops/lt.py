@@ -73,7 +73,11 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "auto") -
 
     isis = np.asarray(isis, dtype=np.uint32)
     if mode == "auto":
-        mode = "sorted" if isis.size >= 2048 else "flat"
+        # systematic full windows recur identically every call (plan cached,
+        # one compile), so sorted is always worth it there; otherwise only
+        # large batches amortize their pattern-specific class shapes
+        full_window = isis.size == P.Kp and np.array_equal(isis, np.arange(P.Kp, dtype=np.uint32))
+        mode = "sorted" if (full_window or isis.size >= 2048) else "flat"
     key = b"%d|%d|%s|" % (P.Kp, w_small, mode.encode()) + isis.tobytes()
     with _plan_lock:
         hit = _plan_cache.get(key)
