@@ -90,6 +90,27 @@ def get_lib():
             lib.nrq_tinv_chunks.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
             lib.nrq_tinv_conj_chunks.restype = None
             lib.nrq_tinv_conj_chunks.argtypes = [u8p, i32p, ctypes.c_int32, ctypes.c_int32]
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            lib.nrq_tri_plan.restype = ctypes.c_void_p
+            lib.nrq_tri_plan.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+                i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32, i32p, ctypes.c_int32,
+            ]
+            for name in ("nrq_tp_status", "nrq_tp_nseg", "nrq_tp_nranges"):
+                getattr(lib, name).restype = ctypes.c_int32
+                getattr(lib, name).argtypes = [ctypes.c_void_p]
+            for name in ("nrq_tp_posmap", "nrq_tp_seg_meta", "nrq_tp_range_meta"):
+                getattr(lib, name).restype = i32p
+                getattr(lib, name).argtypes = [ctypes.c_void_p]
+            lib.nrq_tp_tinv.restype = u8p
+            lib.nrq_tp_tinv.argtypes = [ctypes.c_void_p]
+            lib.nrq_tp_ix.restype = u16p
+            lib.nrq_tp_ix.argtypes = [ctypes.c_void_p]
+            lib.nrq_tp_ix_len.restype = ctypes.c_int64
+            lib.nrq_tp_ix_len.argtypes = [ctypes.c_void_p]
+            lib.nrq_tp_free.restype = None
+            lib.nrq_tp_free.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -165,3 +186,66 @@ def solve_native(P, rows_cols, overhead: int = 0):
     st.uschur_sel = uschur  # [u, u] pre-extracted (device compiler shortcut)
     st.vinv = vinv
     return st
+
+
+def tri_plan_native(Lpad, CB, dep_k, dep_pos, cand, wgrid,
+                    range_penalty, seg_penalty, max_ranges, seg_lens):
+    """Native triangle replay planner (see solver.cc nrq_tri_plan).
+
+    Returns (posmap int32 [Lpad], tinv uint8 [nchunks, CB, CB/8]
+    bit-packed little-endian, segments: list of (q0, nq, ranges)) where
+    ranges is a list of (a, b, ix uint16 [nq, b-a, w]); or None when the
+    library is missing.  Requires CB % 64 == 0 (packed-row word width).
+    Raises ValueError if a row degree exceeds the width grid (cannot happen
+    for valid Table 2 K' — see ADVICE r2 on WIDTH_GRID clamping).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    dep_k = _as_i32(dep_k)
+    dep_pos = _as_i32(dep_pos)
+    cand = _as_i32(cand)
+    wgrid = _as_i32(wgrid)
+    seg_lens = _as_i32(seg_lens)
+    h = lib.nrq_tri_plan(
+        Lpad, CB, dep_k.size,
+        dep_k.ctypes.data_as(i32p), dep_pos.ctypes.data_as(i32p),
+        cand.ctypes.data_as(i32p), cand.size,
+        wgrid.ctypes.data_as(i32p), wgrid.size,
+        float(range_penalty), float(seg_penalty), int(max_ranges),
+        seg_lens.ctypes.data_as(i32p), seg_lens.size,
+    )
+    try:
+        if lib.nrq_tp_status(h):
+            raise ValueError("tri_plan: row degree exceeds the gather width grid")
+        nchunks = Lpad // CB
+        posmap = np.ctypeslib.as_array(lib.nrq_tp_posmap(h), shape=(Lpad,)).copy()
+        tinv = np.ctypeslib.as_array(lib.nrq_tp_tinv(h), shape=(nchunks, CB, CB // 8)).copy()
+        nseg = lib.nrq_tp_nseg(h)
+        seg_meta = np.ctypeslib.as_array(lib.nrq_tp_seg_meta(h), shape=(nseg, 3)).copy()
+        nr = lib.nrq_tp_nranges(h)
+        range_meta = (
+            np.ctypeslib.as_array(lib.nrq_tp_range_meta(h), shape=(nr, 3)).copy()
+            if nr else np.zeros((0, 3), np.int32)
+        )
+        ix_len = int(lib.nrq_tp_ix_len(h))
+        ix_flat = (
+            np.ctypeslib.as_array(lib.nrq_tp_ix(h), shape=(ix_len,)).copy()
+            if ix_len else np.zeros(0, np.uint16)
+        )
+    finally:
+        lib.nrq_tp_free(h)
+    segments = []
+    ri = 0
+    off = 0
+    for q0, nq, nranges in seg_meta:
+        ranges = []
+        for _ in range(nranges):
+            a, b, w = range_meta[ri]
+            ri += 1
+            n = int(nq) * int(b - a) * int(w)
+            ranges.append((int(a), int(b), ix_flat[off : off + n].reshape(nq, b - a, w)))
+            off += n
+        segments.append((int(q0), int(nq), ranges))
+    return posmap, tinv, segments

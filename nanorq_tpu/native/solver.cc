@@ -12,11 +12,15 @@
 // C ABI (ctypes): nrq_solve() returns an opaque handle with getters; the
 // caller copies results into NumPy arrays and frees the handle.
 
+#include <algorithm>
+#include <array>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <utility>
 #include <vector>
 
 #if defined(__AVX2__) || defined(__SSSE3__)
@@ -229,39 +233,47 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   for (int k = 0; k < i; k++) pivpos_of_col[pc[k]] = k;
 
   pt.mark("peel");
-  // ---- U: dense inactive block [M, u] ----
-  std::vector<uint8_t> U((size_t)M * u, 0);
-  auto Urow = [&](int r) { return U.data() + (size_t)r * u; };
+  // ---- U: dense inactive block [M, u], bit-packed (64 cols per word).
+  // The GF(2) phases (S1a/S1b/binary dense solve) run on words — 8x the
+  // byte path; bytes are materialized only if the GF(256)/HDPC tail is
+  // admitted (always for the encoder system, rarely for decode patterns).
+  const int uw = (u + 63) >> 6;
+  std::vector<uint64_t> Ub((size_t)M * uw, 0);
+  auto Ubr = [&](int r) { return Ub.data() + (size_t)r * uw; };
+  auto bit = [&](const uint64_t* row, int j) -> int { return (int)((row[j >> 6] >> (j & 63)) & 1); };
   for (int r = 0; r < NB; r++)
     for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
       int j = ucol_of[row_cols[e]];
-      if (j >= 0) Urow(r)[j] = 1;
+      if (j >= 0) Ubr(r)[j >> 6] |= 1ull << (j & 63);
     }
+  auto wrow_xor = [&](uint64_t* dst, const uint64_t* src) {
+    for (int w = 0; w < uw; w++) dst[w] ^= src[w];
+  };
 
   pt.mark("ubuild");
   // ---- S1a: triangle forward substitution applied to U ----
   for (int k = 0; k < i; k++) {
     int c = pc[k];
-    const uint8_t* srcrow = Urow(pr[k]);
+    const uint64_t* srcrow = Ubr(pr[k]);
     for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
       int r = col_rows[e];
       int p = pos_of_row[r];
-      if (p > k && p < INT32_MAX) row_xor(Urow(r), srcrow, u);
+      if (p > k && p < INT32_MAX) wrow_xor(Ubr(r), srcrow);
     }
   }
   pt.mark("s1a");
   // ---- S1b: eliminate triangle cols from non-pivot binary rows ----
   for (int k = 0; k < i; k++) {
     int c = pc[k];
-    const uint8_t* srcrow = Urow(pr[k]);
+    const uint64_t* srcrow = Ubr(pr[k]);
     for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
       int r = col_rows[e];
-      if (pos_of_row[r] == INT32_MAX) row_xor(Urow(r), srcrow, u);
+      if (pos_of_row[r] == INT32_MAX) wrow_xor(Ubr(r), srcrow);
     }
   }
 
   pt.mark("s1b");
-  std::vector<uint8_t> U_pre(U);  // Schur snapshot (binary rows)
+  std::vector<uint64_t> Ub_pre(Ub);  // Schur snapshot (binary rows)
 
   // ---- dense solve: order, GF(2) first when enough binary rows ----
   std::vector<int32_t>& order = out->order;
@@ -280,35 +292,72 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
       int jc = p - i;
       int q = -1;
       for (int s = p; s < M - H; s++)
-        if (Urow(order[s])[jc]) { q = s; break; }
+        if (bit(Ubr(order[s]), jc)) { q = s; break; }
       if (q < 0) break;
       std::swap(order[p], order[q]);
-      const uint8_t* piv = Urow(order[p]);
+      const uint64_t* piv = Ubr(order[p]);
       for (int s = p + 1; s < M - H; s++) {
-        uint8_t* rrow = Urow(order[s]);
-        if (rrow[jc]) row_xor(rrow, piv, u);
+        uint64_t* rrow = Ubr(order[s]);
+        if (bit(rrow, jc)) wrow_xor(rrow, piv);
       }
       rank = p + 1;
     }
   }
+  pt.mark("gf2dense");
+
+  // byte views, materialized lazily for the GF(256)/HDPC tail.  Only the
+  // dense window rows order[i..M) are ever touched as bytes: the GF(256)
+  // elimination pivots/targets live there, and the HDPC-vs-triangle
+  // elimination streams the (sparse, 2-3 bit) triangle rows from Ub.
+  std::vector<uint8_t> U, U_pre;
+  auto Urow = [&](int r) { return U.data() + (size_t)r * u; };
+  auto unpack_window = [&](std::vector<uint8_t>& dst, const std::vector<uint64_t>& src) {
+    dst.assign((size_t)M * u, 0);
+    for (int p = i; p < M; p++) {
+      int r = order[p];
+      const uint64_t* srow = src.data() + (size_t)r * uw;
+      uint8_t* drow = dst.data() + (size_t)r * u;
+      for (int j = 0; j < u; j++) drow[j] = (uint8_t)((srow[j >> 6] >> (j & 63)) & 1);
+    }
+  };
 
   if (rank < L) {
     out->hdpc_used = 1;
-    // fill HDPC inactive block and eliminate vs triangle pivots.
-    // k outermost: each triangle U row is streamed ONCE while the H output
-    // rows (H*u bytes) stay L1-resident — h-outermost re-read the whole
-    // [i, u] block H times and was the solve's dominant cost at large K'
+    unpack_window(U, Ub);
+    unpack_window(U_pre, Ub_pre);
+    // fill HDPC inactive block and eliminate vs triangle pivots:
+    //   hrow_h ^= sum_k beta[h,k] (x) (T^-1 U_orig)[k]
+    //          == sum_k gamma[h,k] * U_orig[k],  gamma^T = beta^T T^-1.
+    // gamma comes from back-substitution over the *sparse original*
+    // triangle (T entries are 0/1 -> plain XOR), then scatters against the
+    // original 2-3 u-entries per triangle row — O(nnz * H) total,
+    // independent of the S1a fill-in that made the dense formulation the
+    // solve's dominant cost at large K'.
     for (int h = 0; h < H; h++) {
       uint8_t* hrow = Urow(NB + h);
       const uint8_t* ah = hdpc + (size_t)h * L;
       for (int j = 0; j < u; j++) hrow[j] = ah[uc[j]];
     }
+    std::vector<uint8_t> gamma((size_t)i * H);
+    for (int k = i - 1; k >= 0; k--) {
+      uint8_t* g = gamma.data() + (size_t)k * H;
+      for (int h = 0; h < H; h++) g[h] = hdpc[(size_t)h * L + pc[k]];
+      int c = pc[k];
+      for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
+        int p = pos_of_row[col_rows[e]];
+        if (p > k && p < INT32_MAX) {
+          const uint8_t* gp = gamma.data() + (size_t)p * H;
+          for (int h = 0; h < H; h++) g[h] ^= gp[h];
+        }
+      }
+    }
     for (int k = 0; k < i; k++) {
-      const uint8_t* srcrow = Urow(pr[k]);
-      const int32_t c = pc[k];
-      for (int h = 0; h < H; h++) {
-        uint8_t beta = hdpc[(size_t)h * L + c];
-        if (beta) row_axpy(Urow(NB + h), srcrow, beta, u);
+      const uint8_t* g = gamma.data() + (size_t)k * H;
+      int r = pr[k];
+      for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+        int j = ucol_of[row_cols[e]];
+        if (j < 0) continue;
+        for (int h = 0; h < H; h++) Urow(NB + h)[j] ^= g[h];
       }
     }
     for (int h = 0; h < H; h++)
@@ -338,9 +387,17 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   pt.mark("dense");
   // ---- Schur pivot block + inverse ----
   out->uschur_sel.resize((size_t)u * u);
-  for (int s = 0; s < u; s++)
-    memcpy(out->uschur_sel.data() + (size_t)s * u,
-           U_pre.data() + (size_t)order[i + s] * u, u);
+  if (out->hdpc_used) {
+    for (int s = 0; s < u; s++)
+      memcpy(out->uschur_sel.data() + (size_t)s * u,
+             U_pre.data() + (size_t)order[i + s] * u, u);
+  } else {
+    for (int s = 0; s < u; s++) {
+      const uint64_t* srow = Ub_pre.data() + (size_t)order[i + s] * uw;
+      uint8_t* drow = out->uschur_sel.data() + (size_t)s * u;
+      for (int j = 0; j < u; j++) drow[j] = (uint8_t)((srow[j >> 6] >> (j & 63)) & 1);
+    }
+  }
 
   // invert [u, u] over GF(256) by Gauss-Jordan
   {
@@ -436,5 +493,304 @@ void nrq_tinv_conj_chunks(uint8_t* T, const int32_t* order, int32_t n, int32_t C
     }
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Triangle replay planner (native mirror of the hot part of
+// precode/device_schedule.py compile_device): degree-sorted intra-chunk
+// permutation, conjugated chunk inverses, the segment/staircase cost DP, and
+// the per-segment prefix-range gather index tensors.  This is the decode
+// host-prep hot path — a new plan is built per loss pattern.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct TriPlan {
+  std::vector<int32_t> posmap;     // [Lpad] old position -> new position
+  std::vector<uint8_t> tinv;       // [nchunks, CB, CB/8] conjugated inverses,
+                                   // bit-packed little-endian (np.packbits layout)
+  std::vector<int32_t> seg_meta;   // [nseg * 3] (q0, nq, nranges)
+  std::vector<int32_t> range_meta; // [tot_ranges * 3] (a, b, w)
+  std::vector<uint16_t> ix;        // flat gather tensors, segment/range order
+  int status = 0;                  // 1: a degree exceeded the width grid
+};
+
+}  // namespace
+
+extern "C" {
+
+// dep_k / dep_pos: cross+in-chunk dep edges over triangle *positions*
+// (dep_pos < dep_k < Lpad, positions beyond i have no edges).  cand:
+// ascending candidate prefix boundaries, last == CB.  wgrid: ascending
+// gather-width grid.  seg_lens: ascending segment-length grid.
+void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
+                   const int32_t* dep_k, const int32_t* dep_pos,
+                   const int32_t* cand, int32_t nc,
+                   const int32_t* wgrid, int32_t nw,
+                   double range_penalty, double seg_penalty,
+                   int32_t max_ranges, const int32_t* seg_lens, int32_t nsl) {
+  TriPlan* out = new TriPlan();
+  const int nchunks = Lpad / CB;
+  PhaseTimer pt;
+
+  // ---- split edges; cross-chunk degree per receiving position ----
+  std::vector<int32_t> deg(Lpad, 0);
+  for (int64_t e = 0; e < nedges; e++) {
+    int k = dep_k[e];
+    if (dep_pos[e] < (k / CB) * CB) deg[k]++;
+  }
+
+  // ---- intra-chunk order: positions by non-increasing cross degree
+  // (stable: ties keep ascending local index) ----
+  std::vector<int32_t> order((size_t)nchunks * CB);  // new local -> old local
+  std::vector<int32_t> posmap(Lpad);
+  {
+    std::vector<std::pair<int32_t, int32_t>> keys(CB);  // (-deg, local)
+    for (int q = 0; q < nchunks; q++) {
+      for (int l = 0; l < CB; l++) keys[l] = {-deg[q * CB + l], l};
+      std::stable_sort(keys.begin(), keys.end());
+      int32_t* ord = order.data() + (size_t)q * CB;
+      for (int r = 0; r < CB; r++) {
+        ord[r] = keys[r].second;
+        posmap[q * CB + keys[r].second] = q * CB + r;
+      }
+    }
+  }
+  out->posmap = std::move(posmap);
+  pt.mark("tp_sort");
+
+  // ---- chunk inverses, computed directly in the conjugated (degree-
+  // sorted) basis, bit-packed.  In-chunk edges are sparse (~2-3/row), and
+  // forward substitution is valid in any topological order, so processing
+  // old-local rows ascending gives P Tinv P^T without ever materializing a
+  // dense T or a conjugation gather:
+  //   inv[rank[l]] = e_rank[l] ^ XOR_{(l, p) in-chunk} inv[rank[p]]
+  {
+    const int cw = CB >> 6;  // 64-bit words per packed row (CB % 64 == 0)
+    out->tinv.assign((size_t)nchunks * CB * (CB / 8), 0);
+    // bucket in-chunk edges by receiving position (counting sort -> edges
+    // of one chunk are grouped and ordered by old-local row)
+    std::vector<int32_t> icnt(Lpad + 1, 0);
+    for (int64_t e = 0; e < nedges; e++) {
+      int k = dep_k[e];
+      if (dep_pos[e] >= (k / CB) * CB) icnt[k + 1]++;
+    }
+    for (int r = 0; r < Lpad; r++) icnt[r + 1] += icnt[r];
+    std::vector<int32_t> ideps(icnt[Lpad]);
+    {
+      std::vector<int32_t> cur(icnt.begin(), icnt.end() - 1);
+      for (int64_t e = 0; e < nedges; e++) {
+        int k = dep_k[e];
+        if (dep_pos[e] >= (k / CB) * CB) ideps[cur[k]++] = dep_pos[e] - (k / CB) * CB;
+      }
+    }
+    std::vector<int32_t> rank(CB);
+    for (int q = 0; q < nchunks; q++) {
+      const int32_t* ord = order.data() + (size_t)q * CB;
+      for (int r = 0; r < CB; r++) rank[ord[r]] = r;
+      uint64_t* inv = (uint64_t*)(out->tinv.data() + (size_t)q * CB * (CB / 8));
+      for (int l = 0; l < CB; l++) {
+        int r = rank[l];
+        uint64_t* dst = inv + (size_t)r * cw;
+        dst[r >> 6] |= 1ull << (r & 63);
+        for (int32_t e = icnt[q * CB + l]; e < icnt[q * CB + l + 1]; e++) {
+          const uint64_t* src = inv + (size_t)rank[ideps[e]] * cw;
+          for (int w = 0; w < cw; w++) dst[w] ^= src[w];
+        }
+      }
+    }
+  }
+  pt.mark("tp_tinv");
+
+  // ---- cross edges in the sorted basis, stably ordered by receiving row ----
+  std::vector<int32_t> counts(Lpad, 0);
+  const int32_t* pm = out->posmap.data();
+  for (int64_t e = 0; e < nedges; e++) {
+    int k = dep_k[e];
+    if (dep_pos[e] < (k / CB) * CB) counts[pm[k]]++;
+  }
+  std::vector<int64_t> starts(Lpad + 1, 0);
+  for (int r = 0; r < Lpad; r++) starts[r + 1] = starts[r] + counts[r];
+  const int64_t ncross = starts[Lpad];
+  std::vector<int32_t> erow(ncross), edep(ncross), ecolpos(ncross);
+  {
+    std::vector<int64_t> cur(starts.begin(), starts.end() - 1);
+    for (int64_t e = 0; e < nedges; e++) {
+      int k = dep_k[e];
+      if (dep_pos[e] >= (k / CB) * CB) continue;
+      int r = pm[k];
+      int64_t at = cur[r]++;
+      erow[at] = r;
+      edep[at] = pm[dep_pos[e]];
+      ecolpos[at] = (int32_t)(at - starts[r]);
+    }
+  }
+
+  // degs[q][l] = counts in the sorted basis (non-increasing per chunk);
+  // nnz_row[q] = number of rows with any cross dep
+  std::vector<int32_t> nnz_row(nchunks, 0);
+  for (int q = 0; q < nchunks; q++) {
+    int nz = 0;
+    for (int l = 0; l < CB; l++)
+      if (counts[q * CB + l]) nz = l + 1;
+    nnz_row[q] = nz;
+  }
+
+  // ---- inner cost model shared by the window DP and backtracking ----
+  // degs_cand[q][ci] = degree at local row cand[ci] (0 for cand == CB)
+  std::vector<int32_t> degs_cand((size_t)nchunks * nc, 0);
+  for (int q = 0; q < nchunks; q++)
+    for (int ci = 0; ci < nc; ci++)
+      if (cand[ci] < CB) degs_cand[(size_t)q * nc + ci] = counts[q * CB + cand[ci]];
+  // padded range length model: the gather kernel pads its row count
+  std::vector<double> pad_len((size_t)nc * nc, 0.0);
+  for (int ii = 0; ii < nc; ii++)
+    for (int j = 0; j < nc; j++) {
+      double rl = (double)cand[j] - cand[ii];
+      pad_len[(size_t)ii * nc + j] = rl <= 8 ? 8.0 : (rl <= 16 ? 16.0 : 32.0 * std::ceil(rl / 32.0));
+    }
+  const double INF = 1e30;
+
+  // inner DP over prefix boundaries for window [a, b); if bk != nullptr,
+  // records per-iteration argmin backpointers and the terminal (g, j)
+  auto inner_cost = [&](int a, int b, std::vector<int32_t>* bk, int* out_g, int* out_j) -> double {
+    std::vector<int32_t> run(nc, 0);
+    int lastnz = 0;
+    for (int q = a; q < b; q++) {
+      const int32_t* dc = degs_cand.data() + (size_t)q * nc;
+      for (int ci = 0; ci < nc; ci++)
+        if (dc[ci] > run[ci]) run[ci] = dc[ci];
+      if (nnz_row[q] > lastnz) lastnz = nnz_row[q];
+    }
+    std::vector<int32_t> wq(nc, 0);
+    for (int ci = 0; ci < nc; ci++) {
+      if (!run[ci]) continue;
+      int w = -1;
+      for (int g = 0; g < nw; g++)
+        if (wgrid[g] >= run[ci]) { w = wgrid[g]; break; }
+      if (w < 0) { out->status = 1; w = wgrid[nw - 1]; }  // out-of-grid degree
+      wq[ci] = w;
+    }
+    std::vector<double> dpv(nc, INF);
+    dpv[0] = 0.0;
+    double best = INF;
+    int bg = -1, bj = -1;
+    for (int g = 0; g < max_ranges; g++) {
+      std::vector<double> nxt(nc, INF);
+      bool changed = false;
+      for (int j = 1; j < nc; j++) {
+        double bv = INF;
+        int bi = 0;
+        for (int ii = 0; ii < j; ii++) {
+          if (dpv[ii] >= INF) continue;
+          double v = dpv[ii] + (wq[ii] ? range_penalty : 0.0) + (double)wq[ii] * pad_len[(size_t)ii * nc + j];
+          if (v < bv) { bv = v; bi = ii; }
+        }
+        nxt[j] = bv;
+        if (bv < dpv[j]) changed = true;
+        if (bk) (*bk)[(size_t)g * nc + j] = bi;
+      }
+      nxt[0] = INF;
+      dpv.swap(nxt);
+      for (int j = 0; j < nc; j++)
+        if (cand[j] >= lastnz && dpv[j] < best) { best = dpv[j]; bg = g; bj = j; }
+      if (!changed) break;  // fixed point: later iterations cannot improve
+    }
+    if (best >= INF) {  // no deps at all in the window
+      if (out_g) *out_g = -1;
+      return 0.0;
+    }
+    if (out_g) { *out_g = bg; *out_j = bj; }
+    return (double)(b - a) * best;
+  };
+
+  // ---- outer DP over chunk segments ----
+  std::vector<double> dp(nchunks + 1, INF);
+  std::vector<int32_t> back(nchunks + 1, -1);
+  dp[0] = 0.0;
+  for (int b = 1; b <= nchunks; b++) {
+    for (int si = 0; si < nsl; si++) {
+      int len = seg_lens[si];
+      if (len > b) break;
+      int a = b - len;
+      if (dp[a] >= INF) continue;
+      // branch-and-bound: window cost >= 0, so a start that cannot beat
+      // the incumbent even with a free window is skipped outright
+      if (dp[a] + seg_penalty >= dp[b]) continue;
+      double v = dp[a] + inner_cost(a, b, nullptr, nullptr, nullptr) + seg_penalty;
+      if (v < dp[b]) { dp[b] = v; back[b] = a; }
+    }
+  }
+
+  pt.mark("tp_dp");
+  std::vector<std::pair<int, int>> merged;  // (a, b)
+  for (int b = nchunks; b > 0; b = back[b]) merged.push_back({back[b], b});
+  std::reverse(merged.begin(), merged.end());
+
+  // ---- per-segment ranges + gather index tensors ----
+  std::vector<int32_t> bkbuf((size_t)max_ranges * nc);
+  for (auto [a, b] : merged) {
+    int nq = b - a;
+    int g = -1, j = -1;
+    std::fill(bkbuf.begin(), bkbuf.end(), 0);
+    inner_cost(a, b, &bkbuf, &g, &j);
+    // backtrack chosen boundaries (reverse order), recompute each range's wq
+    std::vector<std::array<int32_t, 3>> bounds;  // (a_r, b_r, w)
+    if (g >= 0) {
+      std::vector<int32_t> run(nc, 0);
+      for (int q = a; q < b; q++) {
+        const int32_t* dc = degs_cand.data() + (size_t)q * nc;
+        for (int ci = 0; ci < nc; ci++)
+          if (dc[ci] > run[ci]) run[ci] = dc[ci];
+      }
+      while (g >= 0 && j > 0) {
+        int ii = bkbuf[(size_t)g * nc + j];
+        if (run[ii]) {
+          int w = wgrid[nw - 1];
+          for (int gi = 0; gi < nw; gi++)
+            if (wgrid[gi] >= run[ii]) { w = wgrid[gi]; break; }
+          bounds.push_back({cand[ii], cand[j], w});
+        }
+        j = ii;
+        g--;
+      }
+      std::reverse(bounds.begin(), bounds.end());
+    }
+    out->seg_meta.push_back(a);
+    out->seg_meta.push_back(nq);
+    out->seg_meta.push_back((int32_t)bounds.size());
+    for (auto& bd : bounds) {
+      int a_r = bd[0], b_r = bd[1], w = bd[2];
+      out->range_meta.push_back(a_r);
+      out->range_meta.push_back(b_r);
+      out->range_meta.push_back(w);
+      size_t base = out->ix.size();
+      out->ix.resize(base + (size_t)nq * (b_r - a_r) * w, (uint16_t)Lpad);
+      for (int q = a; q < b; q++) {
+        for (int l = a_r; l < b_r && l < CB; l++) {
+          int64_t s0 = starts[q * CB + l];
+          int n = counts[q * CB + l];
+          uint16_t* dst = out->ix.data() + base
+                          + (((size_t)(q - a) * (b_r - a_r)) + (l - a_r)) * w;
+          for (int e = 0; e < n && e < w; e++) dst[e] = (uint16_t)edep[s0 + e];
+        }
+      }
+    }
+  }
+  pt.mark("tp_fill");
+  return out;
+}
+
+int32_t nrq_tp_status(void* h) { return ((TriPlan*)h)->status; }
+const int32_t* nrq_tp_posmap(void* h) { return ((TriPlan*)h)->posmap.data(); }
+const uint8_t* nrq_tp_tinv(void* h) { return ((TriPlan*)h)->tinv.data(); }
+int32_t nrq_tp_nseg(void* h) { return (int32_t)(((TriPlan*)h)->seg_meta.size() / 3); }
+const int32_t* nrq_tp_seg_meta(void* h) { return ((TriPlan*)h)->seg_meta.data(); }
+int32_t nrq_tp_nranges(void* h) { return (int32_t)(((TriPlan*)h)->range_meta.size() / 3); }
+const int32_t* nrq_tp_range_meta(void* h) { return ((TriPlan*)h)->range_meta.data(); }
+const uint16_t* nrq_tp_ix(void* h) { return ((TriPlan*)h)->ix.data(); }
+int64_t nrq_tp_ix_len(void* h) { return (int64_t)((TriPlan*)h)->ix.size(); }
+void nrq_tp_free(void* h) { delete (TriPlan*)h; }
 
 }  // extern "C"

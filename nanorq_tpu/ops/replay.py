@@ -49,11 +49,17 @@ def default_backend() -> str:
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
 
+def _j_idx(x) -> jnp.ndarray:
+    """Upload an index array; uint16 arrays (half the upload bytes) are cast
+    to int32 on device — the gather kernels index with int32."""
+    a = jnp.asarray(x)
+    return a.astype(jnp.int32) if a.dtype == jnp.uint16 else a
+
+
 def _plan_arrays(plan: GatherPlan) -> tuple:
-    j = jnp.asarray
     return (
-        tuple(j(p) for p in plan.passes),
-        tuple((j(ix), j(oh)) for ix, oh in plan.overflow),
+        tuple(_j_idx(p) for p in plan.passes),
+        tuple((_j_idx(ix), _j_idx(oh)) for ix, oh in plan.overflow),
     )
 
 
@@ -82,7 +88,7 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
     if cached is not None and cached[0] == backend:
         return cached[1]
     pallas = backend == "pallas"
-    j = jnp.asarray
+    j = _j_idx
     mhd_bits = None
     if ds.mhd is not None:
         if pallas:
@@ -104,7 +110,7 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
         "piv_rows": j(ds.piv_rows),
         "tri": tuple(
             {
-                "tinv": _put_bits(seg.tinv),
+                "tinv": jnp.asarray(seg.tinv),  # pre-packed bits
                 "bounds": _Static(tuple((a, b) for a, b, _ in seg.ranges)),
                 "ridx": tuple(j(ix) for _, _, ix in seg.ranges),
             }

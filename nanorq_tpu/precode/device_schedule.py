@@ -29,6 +29,7 @@ Reference analog being replaced: precode_matrix_intermediate + apply_sched
 (lib/precode.c:23-32, 379-389).
 """
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -43,7 +44,8 @@ _WIDTHS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 # Triangle staircase-gather planning knobs (see compile_device): candidate
 # prefix boundaries, quantized gather widths, and the DP's modeled cost of
 # one more gather launch / one more segment (slots-equivalent).  Module
-# scope so tools/bsweep-style probes can retune against hardware.
+# scope so tools/bsweep-style probes can retune against hardware.  All env
+# knobs are snapshotted at import time (setting them later has no effect).
 CAND_GRID = tuple(sorted(set(
     list(range(0, 16)) + list(range(16, 33, 2))
     + [40, 48, 56, 64, 80, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512, 640, 768, 896]
@@ -54,12 +56,22 @@ CAND_GRID = tuple(sorted(set(
 WIDTH_GRID = tuple(
     (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
      128, 160, 192, 256, 320, 384, 512, 768, 1024, 2048, 4096)
-    if __import__("os").environ.get("NANORQ_TRI_WQ") == "dense"
+    if os.environ.get("NANORQ_TRI_WQ") == "dense"
     else (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 )
-TRI_RANGE_PENALTY = int(__import__("os").environ.get("NANORQ_TRI_RP", 768))
-TRI_SEG_PENALTY_CHUNKS = int(__import__("os").environ.get("NANORQ_TRI_SP", 8))  # x CB
-TRI_MAX_RANGES = int(__import__("os").environ.get("NANORQ_TRI_MR", 6))
+TRI_RANGE_PENALTY = int(os.environ.get("NANORQ_TRI_RP", 768))
+TRI_SEG_PENALTY_CHUNKS = int(os.environ.get("NANORQ_TRI_SP", 8))  # x CB
+TRI_MAX_RANGES = int(os.environ.get("NANORQ_TRI_MR", 6))
+# segment-length grid shared by both planners: dense short lengths,
+# quantized long ones (a full 64-wide window was the compile-time hot spot)
+SEG_LENS = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64)
+
+
+def _idx(a: np.ndarray, bound: int) -> np.ndarray:
+    """Index array dtype for device upload: uint16 when every value (and the
+    sentinel `bound`) fits, else int32.  Halves schedule upload bytes — the
+    per-loss-pattern decode tensors ride a ~20 MB/s link on the test rig."""
+    return np.asarray(a, np.uint16 if bound < 65536 else np.int32)
 
 
 def _quant(n: int, grid=_WIDTHS) -> int:
@@ -186,7 +198,7 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> Gathe
     if sel.any():
         p = np.full((n_rows, w_small), sentinel, np.int32)
         p[erows[sel], colpos[sel]] = edeps[sel]
-        passes.append(p)
+        passes.append(_idx(p, sentinel))
     lo = w_small
     for w in [x for x in _WIDTHS if x > w_small] + [cmax]:
         w = min(w, cmax)
@@ -202,7 +214,7 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> Gathe
             ix[rmap[erows[m]], colpos[m]] = edeps[m]
             sel = np.full(n_rows, nb, np.int32)  # sentinel: zero row of red_ext
             sel[pick] = np.arange(pick.size)
-            overflow.append((ix, sel))
+            overflow.append((_idx(ix, sentinel), _idx(sel, nb)))
         lo = w
         if w >= cmax:
             break
@@ -221,7 +233,9 @@ class TriSegment:
     """
 
     q0: int  # first chunk index
-    tinv: np.ndarray  # uint8 [nq, CB, CB] chunk inverses (degree-sorted basis)
+    # uint8 [nq, CB, CB/8] chunk inverses (degree-sorted basis), bit-packed
+    # little-endian along the last axis (np.packbits layout) — uploaded as-is
+    tinv: np.ndarray
     # prefix dep ranges: (a, b, idx int32 [nq, b-a, w]); rows [a, b) of each
     # chunk XOR the gathered rows of z (sentinel Lpad -> zero row)
     ranges: list[tuple[int, int, np.ndarray]]
@@ -285,6 +299,101 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     pos = st.pivpos_of_col[cols_flat]
     dm = (pos >= 0) & (pos < kk)
     dep_k, dep_pos = kk[dm], pos[dm]
+
+    posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)
+
+    # everything downstream that references triangle positions moves to the
+    # sorted basis: y rows, stage-2 deps, HDPC columns, U_t rows, output
+    if i:
+        piv_rows[posmap[:i]] = st.piv_rows
+
+    # --- zsel: dense pivot rows ---
+    order_sel = st.order[i : i + u]
+    sel_rows = np.full(u_pad, zero_row, np.int32)
+    sel_rows[:u] = order_sel.astype(np.int32)
+    b_slots, b_deps = [], []
+    hd_sel = np.nonzero(order_sel >= st.NB)[0]
+    for s in range(u):
+        r = int(order_sel[s])
+        if r < st.NB:
+            cols = st.rows_cols[r]
+            pos = st.pivpos_of_col[cols]
+            b_slots.append(s)
+            b_deps.append(np.sort(posmap[pos[pos >= 0]]).astype(np.int64))
+    bsel = _gather_plan(u_pad, b_slots, b_deps, sentinel=Lpad)
+    mhd = None
+    hd_sel_vec = None
+    if st.hdpc_used:
+        Ahd = hdpc_full_rows(P)
+        H_pad = 32  # Table 2 H is 10..16; pad to the int8 sublane-tile floor
+        mhd = np.zeros((H_pad, Lpad), np.uint8)
+        if i:
+            mhd[: P.H, posmap[:i]] = Ahd[:, st.piv_cols]
+        hd_sel_vec = np.full(u_pad, H_pad, np.int32)
+        for s in hd_sel:
+            hd_sel_vec[s] = int(order_sel[s]) - st.NB
+
+    # --- Vinv: inverse of the Schur pivot block, padded with identity
+    # (identity padding commutes with block-diagonal inversion) ---
+    Vinv = np.eye(u_pad, dtype=np.uint8)
+    if getattr(st, "vinv", None) is not None:  # native solver pre-inverted
+        Vinv[:u, :u] = st.vinv
+    elif u:
+        inv = gf_inv_matrix(st.U_schur[order_sel])
+        assert inv is not None  # solver succeeded => pivot block invertible
+        Vinv[:u, :u] = inv
+
+    # --- U_t: triangle rows' original inactive-column entries ---
+    ucf = st.ucol_of[cols_flat]
+    um = ucf >= 0
+    # w_small=4: u-degree is 2-3 for ~96% of triangle rows, but a width-3
+    # pass measured *slower* than width-4 despite 25% fewer slots (the
+    # gather kernel prefers power-of-two widths)
+    ut = _gather_plan_flat(Lpad, posmap[kk[um]], ucf[um], sentinel=u_pad, w_small=4)
+
+    # --- output gather ---
+    out_sel = np.zeros(L, np.int32)
+    out_sel[st.piv_cols] = posmap[: i].astype(np.int32)
+    out_sel[st.u_cols] = Lpad + np.arange(u)
+
+    return DeviceSchedule(
+        L=L, M=M, M_pad=M_pad, i=i, u=u, CB=CB, Lpad=Lpad, u_pad=u_pad,
+        piv_rows=_idx(piv_rows, M_pad - 1), tri=tri,
+        sel_rows=_idx(sel_rows, M_pad - 1), bsel=bsel,
+        hd_sel=None if hd_sel_vec is None else _idx(hd_sel_vec, 32), mhd=mhd,
+        vinv=Vinv, ut=ut, out_sel=_idx(out_sel, Lpad + u),
+    )
+
+
+def _tri_plan(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
+    """Plan the triangle replay: (posmap, [TriSegment]).  Native (C++) when
+    available — this is the decode host-prep hot path — else NumPy."""
+    try:
+        from nanorq_tpu.native import tri_plan_native
+
+        if CB % 64:
+            raise ImportError  # packed planner needs whole words per row
+        res = tri_plan_native(
+            Lpad, CB, dep_k, dep_pos, [c for c in CAND_GRID if c < CB] + [CB],
+            WIDTH_GRID, TRI_RANGE_PENALTY, TRI_SEG_PENALTY_CHUNKS * CB,
+            TRI_MAX_RANGES, SEG_LENS,
+        )
+    except (ImportError, OSError):
+        res = None
+    if res is None:
+        return _tri_plan_py(Lpad, CB, dep_k, dep_pos)
+    posmap, tinv, segments = res
+    tri = [
+        TriSegment(q0=q0, tinv=tinv[q0 : q0 + nq], ranges=ranges)
+        for q0, nq, ranges in segments
+    ]
+    return posmap, tri
+
+
+def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
+    """NumPy fallback planner (same cost model as nrq_tri_plan; plans may
+    differ in tie-breaks — any plan over the same dep edges is correct)."""
+    nchunks = Lpad // CB
     qq = dep_k // CB
     inck = dep_pos >= qq * CB  # dep within the same chunk -> folded into Tinv
 
@@ -378,6 +487,8 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         (same DP as window_costs, single window + argmin backpointers)."""
         run = degs_cand[a:b].max(0)  # [nc]
         lastnz = int(nnz_row[a:b].max())
+        # out-of-grid degrees would silently clamp and mis-shape ix below
+        assert int(run.max(initial=0)) <= int(WQA[-1]), "row degree exceeds WIDTH_GRID"
         wq = np.where(run > 0, WQA[np.minimum(np.searchsorted(WQA, run), len(WQA) - 1)], 0)
         pen = np.where(wq > 0, float(RANGE_PENALTY), 0.0)
         dpv = np.full(nc, np.inf)
@@ -412,9 +523,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     dp = [INF] * (nchunks + 1)
     back = [-1] * (nchunks + 1)
     dp[0] = 0.0
-    # segment-length grid: dense short lengths, quantized long ones — the
-    # full 64-wide window was the compile-time hot spot at 200+ chunks
-    seg_lens = np.array([1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64])
+    seg_lens = np.asarray(SEG_LENS)
     for b in range(1, nchunks + 1):
         offs = seg_lens[seg_lens <= b]
         avals = b - offs
@@ -446,72 +555,12 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
             m = (el >= a) & (el < b2)
             ix = np.full((nq, b2 - a, w), Lpad, np.int32)
             ix[ec[m], el[m] - a, cp[m]] = ed[m]
-            ranges.append((a, b2, ix))
-        return TriSegment(q0=q0, tinv=tinv_bits[q0:q1], ranges=ranges)
+            ranges.append((a, b2, _idx(ix, Lpad)))
+        packed = np.packbits(tinv_bits[q0:q1], axis=-1, bitorder="little")
+        return TriSegment(q0=q0, tinv=packed, ranges=ranges)
 
     tri = [s for s in (build_segment(q0, q1, bounds) for q0, q1, bounds in merged) if s is not None]
-
-    # everything downstream that references triangle positions moves to the
-    # sorted basis: y rows, stage-2 deps, HDPC columns, U_t rows, output
-    if i:
-        piv_rows[posmap[:i]] = st.piv_rows
-
-    # --- zsel: dense pivot rows ---
-    order_sel = st.order[i : i + u]
-    sel_rows = np.full(u_pad, zero_row, np.int32)
-    sel_rows[:u] = order_sel.astype(np.int32)
-    b_slots, b_deps = [], []
-    hd_slots = None
-    hd_sel = np.nonzero(order_sel >= st.NB)[0]
-    for s in range(u):
-        r = int(order_sel[s])
-        if r < st.NB:
-            cols = st.rows_cols[r]
-            pos = st.pivpos_of_col[cols]
-            b_slots.append(s)
-            b_deps.append(np.sort(posmap[pos[pos >= 0]]).astype(np.int64))
-    bsel = _gather_plan(u_pad, b_slots, b_deps, sentinel=Lpad)
-    mhd = None
-    hd_sel_vec = None
-    if st.hdpc_used:
-        Ahd = hdpc_full_rows(P)
-        H_pad = 32  # Table 2 H is 10..16; pad to the int8 sublane-tile floor
-        mhd = np.zeros((H_pad, Lpad), np.uint8)
-        if i:
-            mhd[: P.H, posmap[:i]] = Ahd[:, st.piv_cols]
-        hd_sel_vec = np.full(u_pad, H_pad, np.int32)
-        for s in hd_sel:
-            hd_sel_vec[s] = int(order_sel[s]) - st.NB
-
-    # --- Vinv: inverse of the Schur pivot block, padded with identity
-    # (identity padding commutes with block-diagonal inversion) ---
-    Vinv = np.eye(u_pad, dtype=np.uint8)
-    if getattr(st, "vinv", None) is not None:  # native solver pre-inverted
-        Vinv[:u, :u] = st.vinv
-    elif u:
-        inv = gf_inv_matrix(st.U_schur[order_sel])
-        assert inv is not None  # solver succeeded => pivot block invertible
-        Vinv[:u, :u] = inv
-
-    # --- U_t: triangle rows' original inactive-column entries ---
-    ucf = st.ucol_of[cols_flat]
-    um = ucf >= 0
-    # w_small=4: u-degree is 2-3 for ~96% of triangle rows, but a width-3
-    # pass measured *slower* than width-4 despite 25% fewer slots (the
-    # gather kernel prefers power-of-two widths)
-    ut = _gather_plan_flat(Lpad, posmap[kk[um]], ucf[um], sentinel=u_pad, w_small=4)
-
-    # --- output gather ---
-    out_sel = np.zeros(L, np.int32)
-    out_sel[st.piv_cols] = posmap[: i].astype(np.int32)
-    out_sel[st.u_cols] = Lpad + np.arange(u)
-
-    return DeviceSchedule(
-        L=L, M=M, M_pad=M_pad, i=i, u=u, CB=CB, Lpad=Lpad, u_pad=u_pad,
-        piv_rows=piv_rows, tri=tri,
-        sel_rows=sel_rows, bsel=bsel, hd_sel=hd_sel_vec, mhd=mhd,
-        vinv=Vinv, ut=ut, out_sel=out_sel,
-    )
+    return posmap, tri
 
 
 # ---------------------------------------------------------------------------
@@ -544,7 +593,8 @@ def _trisolve_np(ds: DeviceSchedule, y: np.ndarray) -> np.ndarray:
             acc = y[base : base + ds.CB].copy()
             for a, b, ix in seg.ranges:
                 acc[a:b] ^= np.bitwise_xor.reduce(z[ix[qi]], axis=1)
-            z[base : base + ds.CB] = gf2_matmul_bytes(seg.tinv[qi], acc)
+            tinv_q = np.unpackbits(seg.tinv[qi], axis=-1, bitorder="little")
+            z[base : base + ds.CB] = gf2_matmul_bytes(tinv_q, acc)
     return z
 
 

@@ -97,11 +97,22 @@ def make_hdpc(P: Params) -> np.ndarray:
     return M
 
 
+_hdpc_cache: dict[int, np.ndarray] = {}
+
+
 def hdpc_full_rows(P: Params) -> np.ndarray:
-    """HDPC rows of A over all L columns: [make_hdpc | I_H], uint8 [H, L]."""
-    A = np.zeros((P.H, P.L), np.uint8)
-    A[:, : P.Kp + P.S] = make_hdpc(P)
-    A[np.arange(P.H), P.Kp + P.S + np.arange(P.H)] = 1
+    """HDPC rows of A over all L columns: [make_hdpc | I_H], uint8 [H, L].
+
+    Cached per K' (loss-pattern independent, ~17 ms at K'=50511 — it sat on
+    the per-pattern decode host-prep path).  Treat the result as read-only.
+    """
+    A = _hdpc_cache.get(P.Kp)
+    if A is None:
+        A = np.zeros((P.H, P.L), np.uint8)
+        A[:, : P.Kp + P.S] = make_hdpc(P)
+        A[np.arange(P.H), P.Kp + P.S + np.arange(P.H)] = 1
+        A.setflags(write=False)
+        _hdpc_cache[P.Kp] = A
     return A
 
 
