@@ -89,9 +89,9 @@ def bench_decode0(K, T, blocks, iters):
     data = rng.integers(0, 256, F, dtype=np.uint8)
     enc = Encoder(F, T, Al=8, Z=blocks)
     payloads = data.reshape(blocks * K, T)
-    tags = [make_tag(sbn, e) for sbn in range(blocks) for e in range(K)]
+    tags = np.array([make_tag(sbn, e) for sbn in range(blocks) for e in range(K)], np.int64)
     best = float("inf")
-    for _ in range(max(2, iters // 4)):
+    for _ in range(max(3, iters)):
         dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
         out = np.zeros(F, np.uint8)
         io = MemoryIO(out)
@@ -161,7 +161,10 @@ def bench_decode_pipe(K, T, nblocks, iters):
     # canonical given K' and the overhead count, so no solve is needed)
     staged = []
     for sbn in range(nblocks):
-        gaps, isis, ov = dec._repair_prepare(sbn)
+        prep = dec._repair_prepare(sbn)
+        if isinstance(prep, bool):  # lossless block: nothing to stage
+            continue
+        gaps, isis, ov = prep
         D_dev = jnp.asarray(dec._repair_D(sbn, gaps, ov, _pad_rows(dec.P.L + ov + 1)))
         D_dev.block_until_ready()
         staged.append((sbn, gaps, isis, ov, D_dev))
@@ -202,14 +205,20 @@ def bench_K(K, T, blocks, iters, rng):
     from nanorq_tpu.precode.solver import solve_state
     from nanorq_tpu.rfc.params import params_init
 
+    from nanorq_tpu.precode.device_schedule import compile_device
+
     P = params_init(K)
     t = blocks * T
     payload = K * T * blocks
 
-    # host solve latency (the reference's fresh-encode extra cost)
+    # host fresh-schedule latency: rows + solve + device-schedule compile
+    # (the reference's fresh-encode extra cost, benchmark.c:82-116)
     t0 = time.time()
     st = solve_state(P, binary_rows(P))
     solve_ms = 1e3 * (time.time() - t0)
+    t0 = time.time()
+    compile_device(st)
+    fresh_ms = solve_ms + 1e3 * (time.time() - t0)
     ds = encoder_schedule(P.Kp)
     arr = device_arrays(ds)
     a = dict(arr)
@@ -301,16 +310,25 @@ def bench_K(K, T, blocks, iters, rng):
 
     dec_per = timed_loop(dec_body, Ddj, iters)
 
-    dec0_gbps = bench_decode0(K, T, min(blocks, 8), iters)
+    dec0_gbps = bench_decode0(K, T, blocks, iters)
+
+    # fresh encode: a cold encoder pays the schedule solve+compile once,
+    # then streams batches; normalize to the reference's 256 MiB object
+    # (benchmark.c:11).  The reference's encode column re-solves per block;
+    # ours solves per K' by design — this is that design's honest number.
+    bytes256 = 256 << 20
+    fresh_s = fresh_ms / 1e3 + (bytes256 / payload) * encfull_per
 
     gbps = lambda per: 8 * payload / per / 1e9
     return {
         "encode": gbps(encfull_per),
+        "encode_fresh": 8 * bytes256 / fresh_s / 1e9,
         "encode_replay": gbps(enc_per),
         "decode0": dec0_gbps,
         "decode": gbps(dec_per),
         "agg": 8 * payload / (encfull_per + dec_per) / 1e9,
         "solve_ms": solve_ms,
+        "fresh_ms": fresh_ms,
         "dec_solve_ms": dec_solve_ms,
         "batch_MB": payload / 1e6,
     }
@@ -321,8 +339,11 @@ def main():
     ap.add_argument("--T", type=int, default=1280)
     ap.add_argument("--blocks", type=int, default=0, help="0 = per-K tuned default")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--ks", type=int, nargs="*", default=[100, 1000, 10000, 50000])
-    ap.add_argument("--full", action="store_true", help="reference K grid (all 6)")
+    ap.add_argument(
+        "--ks", type=int, nargs="*", default=[100, 500, 1000, 5000, 10000, 50000],
+        help="default: the reference Makefile's full 6-K grid",
+    )
+    ap.add_argument("--full", action="store_true", help="(redundant) reference 6-K grid")
     ap.add_argument(
         "--pipe",
         action="store_true",
@@ -362,14 +383,16 @@ def main():
                 / (1.0 / (1e3 / base["precalc"] + 1e3 / base["decode_oh5"])),
                 3,
             )
+            r["fresh_vs_ref"] = round(r["encode_fresh"] / (base["encode"] / 1e3), 3)
         results[K] = r
         log(
             f"K={K} B={blocks}: encode {r['encode']:.2f} Gbps (ref precalc "
-            f"{(base or {}).get('precalc', 0)/1e3:.2f}), replay {r['encode_replay']:.2f}, "
+            f"{(base or {}).get('precalc', 0)/1e3:.2f}), fresh {r['encode_fresh']:.2f} "
+            f"(ref {(base or {}).get('encode', 0)/1e3:.2f}), replay {r['encode_replay']:.2f}, "
             f"decode0 {r['decode0']:.2f} (ref {(base or {}).get('decode', 0)/1e3:.2f}), "
             f"decode {r['decode']:.2f} (ref {(base or {}).get('decode_oh5', 0)/1e3:.2f}), "
             f"agg {r['agg']:.2f} Gbps ({r.get('vs_ref', 0):.2f}x), "
-            f"solve {r['solve_ms']:.0f}ms/{r['dec_solve_ms']:.0f}ms"
+            f"solve {r['solve_ms']:.0f}/{r['fresh_ms']:.0f}/{r['dec_solve_ms']:.0f}ms"
             + (
                 f", pipe {r['pipe_speedup']:.2f}x vs serial"
                 if "pipe_speedup" in r

@@ -116,6 +116,11 @@ class MmapIO(IOContext):
         if write and create_size and create_size > self._size:
             os.ftruncate(self._fd, create_size)
             self._size = create_size
+        # logical extent: declared object size / pre-existing bytes / write
+        # high-water mark.  Doubling growth over-allocates past it; close()
+        # truncates back so the file ends at real data (the reference's
+        # writers ftruncate to the object size, lib/io.c:258-300).
+        self._logical = self._size
         self._map = None
         if self._size:
             self._remap()
@@ -142,6 +147,7 @@ class MmapIO(IOContext):
         if offset + len(data) > self._size:
             self._grow(offset + len(data))
         self._map[offset : offset + len(data)] = data
+        self._logical = max(self._logical, offset + len(data))
         return len(data)
 
     def size(self) -> int:
@@ -150,4 +156,7 @@ class MmapIO(IOContext):
     def close(self) -> None:
         if self._map is not None:
             self._map.close()
+            self._map = None
+        if self.writable and self._size > self._logical:
+            os.ftruncate(self._fd, self._logical)
         os.close(self._fd)

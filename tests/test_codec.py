@@ -325,3 +325,94 @@ def test_repair_all_pipelined_matches_per_block():
             for esi in range(enc.block_symbols(s)):
                 for off, length, col in symbol_ranges(enc.scheme, s, esi, enc.block_symbols(s)):
                     assert np.array_equal(out_b[off : off + length], data[off : off + length])
+
+
+def test_add_symbols_fast_path_matches_slow():
+    """The whole-batch fast path (clean in-order burst) must be semantically
+    identical to the general path: statuses, write-through bytes, block
+    state, and a later repair after a partial burst."""
+    from nanorq_tpu.codec import api as api_mod
+
+    size, T, Z = 30_000, 256, 3
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8, Z=Z)
+    io_in = MemoryIO(data)
+
+    # full in-order burst over all blocks (fast path taken)
+    tags, payloads = [], []
+    for sbn in range(enc.num_blocks):
+        K = enc.block_symbols(sbn)
+        tags += [make_tag(sbn, e) for e in range(K)]
+        payloads.append(enc.encode_batch(sbn, np.arange(K), io_in))
+    payloads = np.concatenate(payloads)
+
+    def run(disable_fast):
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        if disable_fast:
+            dec._add_symbols_fast = lambda *a, **k: None
+        out = np.zeros(size, np.uint8)
+        sts = dec.add_symbols(payloads, tags, MemoryIO(out))
+        return dec, out, sts
+
+    dec_f, out_f, sts_f = run(False)
+    dec_s, out_s, sts_s = run(True)
+    assert sts_f == sts_s == [SYM_ADDED] * len(tags)
+    assert np.array_equal(out_f, out_s)
+    for sbn in range(enc.num_blocks):
+        assert dec_f.num_missing(sbn) == dec_s.num_missing(sbn) == 0
+
+    # partial burst (fast path stages D rows) followed by repair
+    K0 = enc.block_symbols(0)
+    keep = np.arange(K0 - 4)
+    rep = np.arange(K0, K0 + 6)
+    pl = enc.encode_batch(0, np.concatenate([keep, rep]), io_in)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out = np.zeros(size, np.uint8)
+    io_out = MemoryIO(out)
+    sts = dec.add_symbols(pl[: keep.size], [make_tag(0, int(e)) for e in keep], io_out)
+    assert sts == [SYM_ADDED] * keep.size
+    b = dec._block(0)
+    assert b.nsrc == keep.size and b.D is not None  # rows staged for repair
+    dec.add_symbols(pl[keep.size :], [make_tag(0, int(e)) for e in rep], io_out)
+    assert dec.repair_block(io_out, 0)
+    F0 = K0 * T
+    assert np.array_equal(out[:F0], data[:F0])
+
+
+def test_add_symbol_bad_length_beats_dup():
+    """A malformed duplicate-ESI packet is SYM_ERR, not SYM_DUP (the packet
+    was never validated, so it was never 'seen')."""
+    size, T = 4000, 256
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    enc = Encoder(size, T, Al=8, Z=1)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out = np.zeros(size, np.uint8)
+    io_out = MemoryIO(out)
+    pl = enc.encode(0, 0, MemoryIO(data))
+    assert dec.add_symbol(pl, make_tag(0, 0), io_out) == SYM_ADDED
+    assert dec.add_symbol(pl[: T // 2], make_tag(0, 0), io_out) == SYM_ERR
+    assert dec.add_symbol(pl, make_tag(0, 0), io_out) == SYM_DUP
+
+
+def test_mmapio_truncates_growth_on_close(tmp_path):
+    """A grown MmapIO must not leave the file larger than the written extent
+    (reference writers ftruncate to the object size, lib/io.c:258-300)."""
+    import os
+
+    from nanorq_tpu.io.ioctx import MmapIO
+
+    p = str(tmp_path / "grown.bin")
+    io_w = MmapIO(p, write=True)
+    io_w.write_at(0, b"x" * 1000)
+    io_w.write_at(1500, b"y" * 100)  # doubling growth: file becomes 2000
+    assert io_w.size() == 2000
+    io_w.close()
+    assert os.path.getsize(p) == 1600
+
+    # pre-existing bytes beyond the last write are preserved
+    io_w = MmapIO(p, write=True)
+    io_w.write_at(0, b"z" * 10)
+    io_w.close()
+    assert os.path.getsize(p) == 1600
