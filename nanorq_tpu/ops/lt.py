@@ -115,7 +115,6 @@ def _sorted_plan(idx: np.ndarray, valid: np.ndarray, n: int, n_pad: int, L: int)
     wq = np.zeros(n, np.int64)
     nz = sdeg > 0
     wq[nz] = 1 << np.ceil(np.log2(np.maximum(sdeg[nz], 1))).astype(np.int64)
-    wq[sdeg == 1] = 1
     classes = []
     sel = np.full(n_pad, -1, np.int64)
     pos = 0

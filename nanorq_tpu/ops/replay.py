@@ -20,6 +20,7 @@ jit-compiled per DeviceSchedule *shape* signature: canonical padding in the
 compiler makes decode schedules for one K' share a compiled program.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -152,7 +153,6 @@ _REPLAY_GP = (32, 20480)
 _LT_GP = (8, None)
 
 
-_GATHER_MODE = __import__("os").environ.get("NANORQ_GATHER", "auto")  # auto|xla|pallas
 # Payload width where the DMA gather kernel starts beating XLA's gather
 # (measured on v5e: at t=40960 the DMA kernel is ~4x XLA; at t<=6400 XLA
 # wins — narrow row tiles pay per-DMA issue cost, and a pallas ANY-space
@@ -162,8 +162,11 @@ _PALLAS_GATHER_MIN_T = 16384
 
 def _gather(pallas: bool, src, idx, gp=_REPLAY_GP):
     t = src.shape[1]
+    # NANORQ_GATHER is read at trace time (per compile), so the knob stays
+    # live after import — auto|xla|pallas.
+    mode = os.environ.get("NANORQ_GATHER", "auto")
     use_pallas = pallas and t % 1024 == 0 and (
-        _GATHER_MODE == "pallas" or (_GATHER_MODE == "auto" and t >= _PALLAS_GATHER_MIN_T)
+        mode == "pallas" or (mode == "auto" and t >= _PALLAS_GATHER_MIN_T)
     )
     if use_pallas:
         from nanorq_tpu.ops.pallas_kernels import gather_xor_pallas
@@ -249,10 +252,37 @@ def _trisolve(arr: dict, y: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     return z
 
 
+_seen_signatures: set = set()
+
+
+def _count_signature(arr: dict, t: int) -> None:
+    """Track distinct compile signatures (shape grid + static bounds): decode
+    schedules of one K' should hit an already-compiled program almost always
+    (ADVICE r2 #5) — the bench reports replay_compile_new vs replay_compile_hit."""
+    from nanorq_tpu.utils import stats
+
+    sig = (
+        t,
+        arr["piv_rows"].shape[0],
+        tuple((s["tinv"].shape, s["bounds"].value, tuple(ix.shape for ix in s["ridx"])) for s in arr["tri"]),
+        tuple(p.shape for p in arr["bsel"][0]),
+        tuple(p.shape for p in arr["ut"][0]),
+        None if arr["mhd_bits"] is None else arr["mhd_bits"].shape,
+        arr["vinv_bits"].shape,
+        arr["out_sel"].shape,
+    )
+    if sig in _seen_signatures:
+        stats.count("replay_compile_hit")
+    else:
+        _seen_signatures.add(sig)
+        stats.count("replay_compile_new")
+
+
 def replay_device(arr: dict, D: jnp.ndarray) -> jnp.ndarray:
     """Structured replay: D [M_pad, t] -> C [L, t]."""
     a = dict(arr)
     pallas = a.pop("pallas")
+    _count_signature(a, D.shape[1])
     return _replay_jit(a, D, pallas)
 
 

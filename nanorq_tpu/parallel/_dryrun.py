@@ -53,6 +53,8 @@ def run(n_devices: int) -> None:
             f"virtual CPU mesh provisioning failed: need {n_devices} devices, "
             f"have {len(devs)} on backend {jax.default_backend()!r}"
         )
+    from nanorq_tpu.codec.cache import decoder_schedule
+
     mesh = make_mesh(devs[:n_devices])
 
     K, T, per_dev = 100, 128, 2
@@ -60,7 +62,9 @@ def run(n_devices: int) -> None:
     P = params_init(K)
     ds = encoder_schedule(P.Kp)
     arr = device_arrays(ds)
-    plan = lt_plan(np.arange(P.Kp, dtype=np.uint32), P)
+    ngaps = 5  # sources we will drop in the repair step below
+    # encode plan covers K' systematic ISIs plus ngaps repair ISIs
+    plan = lt_plan(np.arange(P.Kp + ngaps, dtype=np.uint32), P)
     rng = np.random.default_rng(0)
     D = np.zeros((ds.M_pad, blocks * T), np.uint8)
     D[:K] = rng.integers(0, 256, (K, blocks * T), dtype=np.uint8)
@@ -71,8 +75,31 @@ def run(n_devices: int) -> None:
     # systematic check: the sharded step must reproduce the source symbols
     assert np.array_equal(sym[:K], D[:K]), "sharded codec step lost bit-exactness"
     print(
-        f"dryrun_multichip({n_devices}): OK — mesh {mesh.shape}, "
+        f"dryrun_multichip({n_devices}): encode OK — mesh {mesh.shape}, "
         f"{sym.shape} symbols, bit-exact"
+    )
+
+    # --- repair path (reference decode flow, lib/nanorq.c:591-630): drop
+    # ngaps sources, splice their repair ISIs into the patched system, solve
+    # the per-pattern schedule, and run the sharded replay + gap-LT step.
+    gaps = np.asarray(sorted(rng.choice(K, size=ngaps, replace=False)), np.int64)
+    isis = np.arange(P.Kp, dtype=np.uint32)
+    isis[gaps] = P.Kp + np.arange(ngaps, dtype=np.uint32)  # repair ESI j -> ISI K'+j
+    ds2 = decoder_schedule(P, isis, overhead=0)
+    assert ds2 is not None, "patched-system solve unexpectedly rank deficient"
+    D2 = np.zeros((ds2.M_pad, blocks * T), np.uint8)
+    D2[:K] = D[:K]
+    D2[gaps] = sym[P.Kp : P.Kp + ngaps]  # repair payloads in the gap slots
+    gap_plan = lt_plan(gaps.astype(np.uint32), P)
+    D2sh = shard_width(D2, mesh)
+    _, rec = codec_step_sharded(device_arrays(ds2), gap_plan, D2sh, mesh)
+    rec = np.asarray(rec)
+    assert np.array_equal(rec[: gaps.size], D[gaps]), (
+        "sharded repair step failed to recover dropped sources bit-exact"
+    )
+    print(
+        f"dryrun_multichip({n_devices}): repair OK — {gaps.size} dropped sources "
+        f"recovered bit-exact through the sharded patched-system step"
     )
 
 
