@@ -172,11 +172,19 @@ def bench_decode_pipe(K, T, nblocks, iters):
     best_pipe = best_serial = float("inf")
     launched = None
     for it in range(max(2, iters)):
+        # production repair_all shape (codec/api.py _repair_pipeline):
+        # one solver thread streams pattern solves; this thread owns the
+        # device queue (upload + dispatch), so solve(i+1) overlaps upload(i)
         cc.clear_decoder_cache()
         t0 = time.time()
-        with ThreadPoolExecutor() as ex:
-            futs = [(s, g, ex.submit(cc.decoder_schedule, dec.P, i, ov), ov, Dd) for s, g, i, ov, Dd in staged]
-            launched = [(s, g, dec._repair_launch(s, g, ov, f.result(), Dd)) for s, g, f, ov, Dd in futs]
+        launched = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = [
+                (s, g, ov, Dd, ex.submit(cc.decoder_schedule, dec.P, i, ov))
+                for s, g, i, ov, Dd in staged
+            ]
+            for s, g, ov, Dd, fut in futs:
+                launched.append((s, g, dec._repair_launch(s, g, ov, fut.result(), Dd)))
         for _, _, sym in launched:
             sync4(sym)
         best_pipe = min(best_pipe, time.time() - t0)

@@ -540,10 +540,21 @@ class Decoder(_CodecBase):
                 work.append((sbn, *prep))
         if not work:
             return ok, []
+
+        # Producer-consumer pipeline: ONE solver thread streams pattern
+        # solves; THIS thread owns the device queue (schedule upload + replay
+        # dispatch), consuming solves in order — so solve(i+1) overlaps
+        # upload/replay(i).  Both wider designs measured worse on real
+        # hardware: N solver threads are memory-bandwidth-bound (8 solves on
+        # a 4-wide pool ran 0.9x sequential), and pushing uploads/dispatches
+        # into the workers convoys on the JAX client lock (0.4-0.7x serial).
         launched = []
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            futs = [(s, g, ex.submit(_cache.decoder_schedule, self.P, i, ov), ov) for s, g, i, ov in work]
-            for sbn, gaps, fut, ov in futs:
+        with ThreadPoolExecutor(max_workers=max_workers or 1) as ex:
+            futs = [
+                (s, g, ov, ex.submit(_cache.decoder_schedule, self.P, isis, ov))
+                for s, g, isis, ov in work
+            ]
+            for sbn, gaps, ov, fut in futs:
                 ds = fut.result()
                 if ds is None:
                     from nanorq_tpu.utils import stats
