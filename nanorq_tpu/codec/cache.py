@@ -91,29 +91,33 @@ def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
         return base
     fresh = lt_rows_csr(isis[changed], P)
 
-    def within(lens):
-        total = int(lens.sum())
-        csum = np.zeros(lens.size + 1, np.int64)
-        np.cumsum(lens, out=csum[1:])
-        return np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], lens)
-
     n = Kp + overhead + S
-    src = np.empty(n, np.int64)  # base row per output row (changed slots unused)
+    src = np.empty(n, np.int64)  # base row per output row; -1 marks changed
     src[:Kp] = np.arange(Kp)
     src[Kp + overhead :] = Kp + np.arange(S)
-    is_ch = np.zeros(n, bool)
-    is_ch[changed] = True
-    keep = np.nonzero(~is_ch)[0]
+    src[changed] = -1
 
     lens = np.empty(n, np.int64)
+    keep = src >= 0
     lens[keep] = base.ptr[src[keep] + 1] - base.ptr[src[keep]]
     lens[changed] = fresh.lens()
     ptr = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=ptr[1:])
     cols = np.empty(int(ptr[-1]), np.int32)
-    _, vals = base.select_flat(src[keep])
-    cols[np.repeat(ptr[keep], lens[keep]) + within(lens[keep])] = vals
-    cols[np.repeat(ptr[changed], lens[changed]) + within(lens[changed])] = fresh.cols
+
+    from nanorq_tpu.native import splice_rows_native
+
+    if not splice_rows_native(n, base.ptr, base.cols, src, fresh.ptr, fresh.cols, ptr, cols):
+        # NumPy fallback: repeat/scatter formulation of the same splice
+        def within(ls):
+            csum = np.zeros(ls.size + 1, np.int64)
+            np.cumsum(ls, out=csum[1:])
+            return np.arange(int(ls.sum()), dtype=np.int64) - np.repeat(csum[:-1], ls)
+
+        kidx = np.nonzero(keep)[0]
+        _, vals = base.select_flat(src[kidx])
+        cols[np.repeat(ptr[kidx], lens[kidx]) + within(lens[kidx])] = vals
+        cols[np.repeat(ptr[changed], lens[changed]) + within(lens[changed])] = fresh.cols
     return CSRRows(cols, ptr)
 
 

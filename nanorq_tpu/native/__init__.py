@@ -78,8 +78,12 @@ def get_lib():
             for name in ("nrq_status", "nrq_hdpc_used", "nrq_i", "nrq_u"):
                 getattr(lib, name).restype = ctypes.c_int32
                 getattr(lib, name).argtypes = [ctypes.c_void_p]
-            for name in ("nrq_piv_rows", "nrq_piv_cols", "nrq_u_cols", "nrq_order"):
+            for name in ("nrq_piv_rows", "nrq_piv_cols", "nrq_u_cols", "nrq_order",
+                         "nrq_tri_ek", "nrq_tri_ep", "nrq_ut_ek", "nrq_ut_uc"):
                 getattr(lib, name).restype = i32p
+                getattr(lib, name).argtypes = [ctypes.c_void_p]
+            for name in ("nrq_n_tri_edges", "nrq_n_ut_edges"):
+                getattr(lib, name).restype = ctypes.c_int64
                 getattr(lib, name).argtypes = [ctypes.c_void_p]
             for name in ("nrq_uschur", "nrq_vinv"):
                 getattr(lib, name).restype = u8p
@@ -90,6 +94,11 @@ def get_lib():
             lib.nrq_tinv_chunks.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
             lib.nrq_tinv_conj_chunks.restype = None
             lib.nrq_tinv_conj_chunks.argtypes = [u8p, i32p, ctypes.c_int32, ctypes.c_int32]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.nrq_splice_rows.restype = None
+            lib.nrq_splice_rows.argtypes = [
+                ctypes.c_int32, i64p, i32p, i64p, i64p, i32p, i64p, i32p,
+            ]
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.nrq_tri_plan.restype = ctypes.c_void_p
             lib.nrq_tri_plan.argtypes = [
@@ -167,6 +176,10 @@ def solve_native(P, rows_cols, overhead: int = 0):
         uschur = np.ctypeslib.as_array(lib.nrq_uschur(h), shape=(u, u)).copy()
         vinv = np.ctypeslib.as_array(lib.nrq_vinv(h), shape=(u, u)).copy()
         hdpc_used = bool(lib.nrq_hdpc_used(h))
+        nte = int(lib.nrq_n_tri_edges(h))
+        nue = int(lib.nrq_n_ut_edges(h))
+        tri_edges = (grab_i32(lib.nrq_tri_ek, nte), grab_i32(lib.nrq_tri_ep, nte))
+        ut_edges = (grab_i32(lib.nrq_ut_ek, nue), grab_i32(lib.nrq_ut_uc, nue))
     finally:
         lib.nrq_free(h)
 
@@ -185,7 +198,31 @@ def solve_native(P, rows_cols, overhead: int = 0):
     )
     st.uschur_sel = uschur  # [u, u] pre-extracted (device compiler shortcut)
     st.vinv = vinv
+    # pre-extracted compiler edges (tri deps / inactive entries of pivot
+    # rows) — compile_device skips its NumPy CSR re-scan when present
+    st.tri_edges = tri_edges
+    st.ut_edges = ut_edges
     return st
+
+
+def splice_rows_native(n, base_ptr, base_cols, src, fresh_ptr, fresh_cols, out_ptr, out_cols) -> bool:
+    """Fill out_cols by splicing base/fresh CSR rows (see nrq_splice_rows).
+    Returns False when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    import ctypes as ct
+
+    i32p = ct.POINTER(ct.c_int32)
+    i64p = ct.POINTER(ct.c_int64)
+    lib.nrq_splice_rows(
+        int(n),
+        base_ptr.ctypes.data_as(i64p), base_cols.ctypes.data_as(i32p),
+        src.ctypes.data_as(i64p),
+        fresh_ptr.ctypes.data_as(i64p), fresh_cols.ctypes.data_as(i32p),
+        out_ptr.ctypes.data_as(i64p), out_cols.ctypes.data_as(i32p),
+    )
+    return True
 
 
 def tri_plan_native(Lpad, CB, dep_k, dep_pos, cand, wgrid,

@@ -20,6 +20,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <string>
+#include <unordered_map>
 #include <utility>
 #include <vector>
 
@@ -118,6 +120,11 @@ struct Solver {
   std::vector<int32_t> order;
   std::vector<uint8_t> uschur_sel;  // [u, u] row-major
   std::vector<uint8_t> vinv;        // [u, u] row-major
+  // pre-extracted device-compiler edges (tri position space / u columns):
+  // triangle dep edges (k, p<k) and inactive-entry edges (k, ucol) of the
+  // pivot rows — the downstream compiler consumed these via a NumPy re-scan
+  // of the CSR that cost more than the whole native solve at K'=50511
+  std::vector<int32_t> tri_ek, tri_ep, ut_ek, ut_uc;
   int status = 1;                   // 0 ok, 1 rank-deficient
   int hdpc_used = 0;
 };
@@ -231,6 +238,30 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   for (int k = 0; k < i; k++) pos_of_row[pr[k]] = k;
   std::vector<int32_t> pivpos_of_col(L, -1);
   for (int k = 0; k < i; k++) pivpos_of_col[pc[k]] = k;
+
+  // ---- device-compiler edge lists over the pivot rows (one CSR scan) ----
+  {
+    out->tri_ek.reserve(nnz / 2);
+    out->tri_ep.reserve(nnz / 2);
+    out->ut_ek.reserve(nnz / 4);
+    out->ut_uc.reserve(nnz / 4);
+    for (int k = 0; k < i; k++) {
+      int r = pr[k];
+      for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+        int c = row_cols[e];
+        int p = pivpos_of_col[c];
+        if (p >= 0 && p < k) {
+          out->tri_ek.push_back(k);
+          out->tri_ep.push_back(p);
+        }
+        int j = ucol_of[c];
+        if (j >= 0) {
+          out->ut_ek.push_back(k);
+          out->ut_uc.push_back(j);
+        }
+      }
+    }
+  }
 
   pt.mark("peel");
   // ---- U: dense inactive block [M, u], bit-packed (64 cols per word).
@@ -446,6 +477,12 @@ const int32_t* nrq_piv_rows(void* h) { return ((Solver*)h)->piv_rows.data(); }
 const int32_t* nrq_piv_cols(void* h) { return ((Solver*)h)->piv_cols.data(); }
 const int32_t* nrq_u_cols(void* h) { return ((Solver*)h)->u_cols.data(); }
 const int32_t* nrq_order(void* h) { return ((Solver*)h)->order.data(); }
+int64_t nrq_n_tri_edges(void* h) { return (int64_t)((Solver*)h)->tri_ek.size(); }
+int64_t nrq_n_ut_edges(void* h) { return (int64_t)((Solver*)h)->ut_ek.size(); }
+const int32_t* nrq_tri_ek(void* h) { return ((Solver*)h)->tri_ek.data(); }
+const int32_t* nrq_tri_ep(void* h) { return ((Solver*)h)->tri_ep.data(); }
+const int32_t* nrq_ut_ek(void* h) { return ((Solver*)h)->ut_ek.data(); }
+const int32_t* nrq_ut_uc(void* h) { return ((Solver*)h)->ut_uc.data(); }
 const uint8_t* nrq_uschur(void* h) { return ((Solver*)h)->uschur_sel.data(); }
 const uint8_t* nrq_vinv(void* h) { return ((Solver*)h)->vinv.data(); }
 void nrq_free(void* h) { delete (Solver*)h; }
@@ -490,6 +527,30 @@ void nrq_tinv_conj_chunks(uint8_t* T, const int32_t* order, int32_t n, int32_t C
       const uint8_t* src = inv.data() + (size_t)ord[r] * CB;
       uint8_t* dst = Tq + (size_t)r * CB;
       for (int c = 0; c < CB; c++) dst[c] = src[ord[c]];
+    }
+  }
+}
+
+// ---- CSR row splice (decode-pattern rows from cached encoder rows) ----
+// Copies each output row's column set from either the base CSR (src[r] >= 0
+// names the base row) or the next fresh row (src[r] < 0; fresh rows are
+// consumed in output-row order).  out_ptr is precomputed by the caller; this
+// is the pure memcpy pass (the NumPy repeat/scatter formulation of the same
+// splice cost ~15 ms at K'=50511).
+void nrq_splice_rows(int32_t n, const int64_t* base_ptr, const int32_t* base_cols,
+                     const int64_t* src,
+                     const int64_t* fresh_ptr, const int32_t* fresh_cols,
+                     const int64_t* out_ptr, int32_t* out_cols) {
+  int64_t fi = 0;
+  for (int32_t r = 0; r < n; r++) {
+    int64_t o = out_ptr[r];
+    if (src[r] >= 0) {
+      int64_t b0 = base_ptr[src[r]];
+      memcpy(out_cols + o, base_cols + b0, (size_t)(base_ptr[src[r] + 1] - b0) * 4);
+    } else {
+      int64_t f0 = fresh_ptr[fi];
+      memcpy(out_cols + o, fresh_cols + f0, (size_t)(fresh_ptr[fi + 1] - f0) * 4);
+      fi++;
     }
   }
 }
@@ -652,73 +713,121 @@ void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
     }
   const double INF = 1e30;
 
-  // inner DP over prefix boundaries for window [a, b); if bk != nullptr,
-  // records per-iteration argmin backpointers and the terminal (g, j)
-  auto inner_cost = [&](int a, int b, std::vector<int32_t>* bk, int* out_g, int* out_j) -> double {
-    std::vector<int32_t> run(nc, 0);
-    int lastnz = 0;
-    for (int q = a; q < b; q++) {
-      const int32_t* dc = degs_cand.data() + (size_t)q * nc;
-      for (int ci = 0; ci < nc; ci++)
-        if (dc[ci] > run[ci]) run[ci] = dc[ci];
-      if (nnz_row[q] > lastnz) lastnz = nnz_row[q];
-    }
-    std::vector<int32_t> wq(nc, 0);
+  // Preallocated inner-DP workspace + a memo keyed on the window's reduced
+  // profile (wq, lastnz): the per-chunk optimum depends on nothing else, and
+  // sparse-tail windows repeat profiles constantly (the allocations and
+  // redundant DP sweeps here were ~40% of plan time at K'=50511).
+  std::vector<int32_t> wq_ws(nc), run_ws(nc);
+  std::vector<double> dpv_ws(nc), nxt_ws(nc);
+  struct MemoV { double best; };
+  std::unordered_map<std::string, MemoV> memo;
+  std::string key_ws;
+  key_ws.reserve(nc * sizeof(int32_t) + 4);
+
+  // wq + lastnz for window [a, b) given its run vector
+  auto make_wq = [&](const int32_t* run) {
     for (int ci = 0; ci < nc; ci++) {
-      if (!run[ci]) continue;
+      if (!run[ci]) { wq_ws[ci] = 0; continue; }
       int w = -1;
       for (int g = 0; g < nw; g++)
         if (wgrid[g] >= run[ci]) { w = wgrid[g]; break; }
       if (w < 0) { out->status = 1; w = wgrid[nw - 1]; }  // out-of-grid degree
-      wq[ci] = w;
+      wq_ws[ci] = w;
     }
-    std::vector<double> dpv(nc, INF);
-    dpv[0] = 0.0;
+  };
+
+  // per-chunk optimum for the current wq_ws/lastnz; if bk != nullptr,
+  // records per-iteration argmin backpointers and the terminal (g, j)
+  auto dp_sweep = [&](int lastnz, std::vector<int32_t>* bk, int* out_g, int* out_j) -> double {
+    std::fill(dpv_ws.begin(), dpv_ws.end(), INF);
+    dpv_ws[0] = 0.0;
     double best = INF;
     int bg = -1, bj = -1;
     for (int g = 0; g < max_ranges; g++) {
-      std::vector<double> nxt(nc, INF);
       bool changed = false;
       for (int j = 1; j < nc; j++) {
         double bv = INF;
         int bi = 0;
         for (int ii = 0; ii < j; ii++) {
-          if (dpv[ii] >= INF) continue;
-          double v = dpv[ii] + (wq[ii] ? range_penalty : 0.0) + (double)wq[ii] * pad_len[(size_t)ii * nc + j];
+          if (dpv_ws[ii] >= INF) continue;
+          double v = dpv_ws[ii] + (wq_ws[ii] ? range_penalty : 0.0) + (double)wq_ws[ii] * pad_len[(size_t)ii * nc + j];
           if (v < bv) { bv = v; bi = ii; }
         }
-        nxt[j] = bv;
-        if (bv < dpv[j]) changed = true;
+        nxt_ws[j] = bv;
+        if (bv < dpv_ws[j]) changed = true;
         if (bk) (*bk)[(size_t)g * nc + j] = bi;
       }
-      nxt[0] = INF;
-      dpv.swap(nxt);
+      nxt_ws[0] = INF;
+      dpv_ws.swap(nxt_ws);
       for (int j = 0; j < nc; j++)
-        if (cand[j] >= lastnz && dpv[j] < best) { best = dpv[j]; bg = g; bj = j; }
+        if (cand[j] >= lastnz && dpv_ws[j] < best) { best = dpv_ws[j]; bg = g; bj = j; }
       if (!changed) break;  // fixed point: later iterations cannot improve
     }
+    if (out_g) { *out_g = bg; *out_j = bj; }
+    return best;
+  };
+
+  // full-window variant used only for backtracking the ~nseg chosen windows
+  auto inner_cost_bt = [&](int a, int b, std::vector<int32_t>* bk, int* out_g, int* out_j) -> double {
+    std::fill(run_ws.begin(), run_ws.end(), 0);
+    int lastnz = 0;
+    for (int q = a; q < b; q++) {
+      const int32_t* dc = degs_cand.data() + (size_t)q * nc;
+      for (int ci = 0; ci < nc; ci++)
+        if (dc[ci] > run_ws[ci]) run_ws[ci] = dc[ci];
+      if (nnz_row[q] > lastnz) lastnz = nnz_row[q];
+    }
+    make_wq(run_ws.data());
+    double best = dp_sweep(lastnz, bk, out_g, out_j);
     if (best >= INF) {  // no deps at all in the window
       if (out_g) *out_g = -1;
       return 0.0;
     }
-    if (out_g) { *out_g = bg; *out_j = bj; }
     return (double)(b - a) * best;
   };
 
-  // ---- outer DP over chunk segments ----
+  // ---- outer DP over chunk segments.  For one endpoint b the windows
+  // [b-len, b) nest as len grows, so run/lastnz update incrementally
+  // across the ascending seg_lens loop instead of rescanning each window.
   std::vector<double> dp(nchunks + 1, INF);
   std::vector<int32_t> back(nchunks + 1, -1);
   dp[0] = 0.0;
   for (int b = 1; b <= nchunks; b++) {
+    std::fill(run_ws.begin(), run_ws.end(), 0);
+    int lastnz = 0;
+    int covered = b;  // run_ws covers chunks [covered, b)
     for (int si = 0; si < nsl; si++) {
       int len = seg_lens[si];
       if (len > b) break;
       int a = b - len;
+      while (covered > a) {
+        covered--;
+        const int32_t* dc = degs_cand.data() + (size_t)covered * nc;
+        for (int ci = 0; ci < nc; ci++)
+          if (dc[ci] > run_ws[ci]) run_ws[ci] = dc[ci];
+        if (nnz_row[covered] > lastnz) lastnz = nnz_row[covered];
+      }
       if (dp[a] >= INF) continue;
       // branch-and-bound: window cost >= 0, so a start that cannot beat
       // the incumbent even with a free window is skipped outright
       if (dp[a] + seg_penalty >= dp[b]) continue;
-      double v = dp[a] + inner_cost(a, b, nullptr, nullptr, nullptr) + seg_penalty;
+      double per_chunk;
+      if (!lastnz) {
+        per_chunk = 0.0;  // empty window
+      } else {
+        make_wq(run_ws.data());
+        key_ws.assign((const char*)wq_ws.data(), nc * sizeof(int32_t));
+        key_ws.append((const char*)&lastnz, sizeof(lastnz));
+        auto it = memo.find(key_ws);
+        if (it != memo.end()) {
+          per_chunk = it->second.best;
+        } else {
+          double best = dp_sweep(lastnz, nullptr, nullptr, nullptr);
+          per_chunk = best >= INF ? 0.0 : best;
+          memo.emplace(key_ws, MemoV{per_chunk});
+        }
+      }
+      double v = dp[a] + (double)len * per_chunk + seg_penalty;
       if (v < dp[b]) { dp[b] = v; back[b] = a; }
     }
   }
@@ -734,7 +843,7 @@ void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
     int nq = b - a;
     int g = -1, j = -1;
     std::fill(bkbuf.begin(), bkbuf.end(), 0);
-    inner_cost(a, b, &bkbuf, &g, &j);
+    inner_cost_bt(a, b, &bkbuf, &g, &j);
     // backtrack chosen boundaries (reverse order), recompute each range's wq
     std::vector<std::array<int32_t, 3>> bounds;  // (a_r, b_r, w)
     if (g >= 0) {

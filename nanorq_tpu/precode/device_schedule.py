@@ -286,19 +286,24 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
 
     # --- triangle: per-position deps at pivot columns with smaller position.
     # Built from flat edge arrays (the per-pivot Python loop was the
-    # compile-time hot spot at K' = 56403). ---
+    # compile-time hot spot at K' = 56403).  The native solver pre-extracts
+    # both edge lists during its own CSR scan; the NumPy path below re-scans.
     nchunks = Lpad // CB
-    if i:
-        from nanorq_tpu.precode.matrix import CSRRows
-
-        rc = st.rows_cols if isinstance(st.rows_cols, CSRRows) else CSRRows.from_list(st.rows_cols)
-        kk, cols_flat = rc.select_flat(st.piv_rows)
+    ut_edges = getattr(st, "ut_edges", None)
+    if getattr(st, "tri_edges", None) is not None and ut_edges is not None:
+        dep_k, dep_pos = st.tri_edges
     else:
-        cols_flat = np.zeros(0, np.int64)
-        kk = np.zeros(0, np.int64)
-    pos = st.pivpos_of_col[cols_flat]
-    dm = (pos >= 0) & (pos < kk)
-    dep_k, dep_pos = kk[dm], pos[dm]
+        if i:
+            from nanorq_tpu.precode.matrix import CSRRows
+
+            rc = st.rows_cols if isinstance(st.rows_cols, CSRRows) else CSRRows.from_list(st.rows_cols)
+            kk, cols_flat = rc.select_flat(st.piv_rows)
+        else:
+            cols_flat = np.zeros(0, np.int64)
+            kk = np.zeros(0, np.int64)
+        pos = st.pivpos_of_col[cols_flat]
+        dm = (pos >= 0) & (pos < kk)
+        dep_k, dep_pos = kk[dm], pos[dm]
 
     posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)
 
@@ -344,12 +349,16 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         Vinv[:u, :u] = inv
 
     # --- U_t: triangle rows' original inactive-column entries ---
-    ucf = st.ucol_of[cols_flat]
-    um = ucf >= 0
+    if ut_edges is not None:
+        ut_k, ut_uc = ut_edges
+    else:
+        ucf = st.ucol_of[cols_flat]
+        um = ucf >= 0
+        ut_k, ut_uc = kk[um], ucf[um]
     # w_small=4: u-degree is 2-3 for ~96% of triangle rows, but a width-3
     # pass measured *slower* than width-4 despite 25% fewer slots (the
     # gather kernel prefers power-of-two widths)
-    ut = _gather_plan_flat(Lpad, posmap[kk[um]], ucf[um], sentinel=u_pad, w_small=4)
+    ut = _gather_plan_flat(Lpad, posmap[ut_k], ut_uc, sentinel=u_pad, w_small=4)
 
     # --- output gather ---
     out_sel = np.zeros(L, np.int32)
