@@ -180,7 +180,7 @@ def bench_decode_pipe(K, T, nblocks, iters):
         launched = []
         with ThreadPoolExecutor(max_workers=1) as ex:
             futs = [
-                (s, g, ov, Dd, ex.submit(cc.decoder_schedule, dec.P, i, ov))
+                (s, g, ov, Dd, ex.submit(cc.decoder_plan, dec.P, i, ov))
                 for s, g, i, ov, Dd in staged
             ]
             for s, g, ov, Dd, fut in futs:
@@ -192,7 +192,7 @@ def bench_decode_pipe(K, T, nblocks, iters):
         cc.clear_decoder_cache()
         t0 = time.time()
         for sbn, gaps, isis, ov, Dd in staged:
-            ds = cc.decoder_schedule(dec.P, isis, ov)
+            ds = cc.decoder_plan(dec.P, isis, ov)
             sync4(dec._repair_launch(sbn, gaps, ov, ds, Dd))
         best_serial = min(best_serial, time.time() - t0)
 
@@ -270,7 +270,12 @@ def bench_K(K, T, blocks, iters, rng):
     encfull_per = timed_loop(enc_full, Dj, iters)
 
     # --- decode at ~6% loss + 5% overhead: patched solve (host, cached) +
-    # replay + LT of the gap symbols (reference nanorq_repair_block) ---
+    # the production device path (reference nanorq_repair_block's timed
+    # region).  decoder_plan picks the dense combination matmul (WSchedule,
+    # ops/wpath.py) at small/mid K' and the structured replay + gap LT
+    # above the cutover; the bench measures whichever production uses. ---
+    from nanorq_tpu.codec.cache import decoder_plan, WSchedule
+
     loss = rng.random(K) < 0.06
     gaps = np.nonzero(loss)[0]
     ov = max(1, int(0.05 * K))
@@ -280,41 +285,53 @@ def bench_K(K, T, blocks, iters, rng):
     isis[gaps] = rep_isis[: gaps.size]
     isis[P.Kp :] = rep_isis[gaps.size :]
     t0 = time.time()
-    ds_dec = decoder_schedule(P, isis, ov)
+    plan_dec = decoder_plan(P, isis, ov)
     dec_solve_ms = 1e3 * (time.time() - t0)
-    assert ds_dec is not None
-    arr_d = device_arrays(ds_dec)
-    ad = dict(arr_d)
-    pd = ad.pop("pallas")
-    plan_gaps = lt_plan(gaps.astype(np.uint32), P) if gaps.size else None
+    assert plan_dec is not None
+    wpath = isinstance(plan_dec, WSchedule)
 
     # true decode payload: received sources + real repair symbols in the gap
     # and overhead slots (generated from the encoder intermediates)
     C_enc = _replay_jit(a, Dj, pall)
     plan_rep = lt_plan(rep_isis, P)
     rep_payloads = np.asarray(lt_combine(C_enc, plan_rep))[: rep_isis.size]
-    Dd = np.zeros((ds_dec.M_pad, t), np.uint8)
+    Dd = np.zeros((plan_dec.M_pad, t), np.uint8)
     Dd[:K] = D[:K]
     Dd[gaps] = rep_payloads[: gaps.size]
     Dd[P.Kp : P.Kp + ov] = rep_payloads[gaps.size :]
     Dd[K : P.Kp] = 0  # padding symbols
     Ddj = jnp.asarray(Dd)
 
+    if wpath:
+        from nanorq_tpu.ops.wpath import w_matmul_gf2
+
+        staged_w = plan_dec.staged()
+
+        def dec_recover(Dc):
+            return w_matmul_gf2(staged_w, Dc)
+
+    else:
+        arr_d = device_arrays(plan_dec)
+        ad = dict(arr_d)
+        pd = ad.pop("pallas")
+        plan_gaps = lt_plan(gaps.astype(np.uint32), P) if gaps.size else None
+
+        def dec_recover(Dc):
+            C = _replay_jit(ad, Dc, pd)
+            return lt_combine(C, plan_gaps) if plan_gaps is not None else C
+
     # byte-equality gate (reference benchmark.c:233-235): recovered gap
     # symbols must equal the dropped source symbols
     if gaps.size:
-        C_dec = _replay_jit(ad, Ddj, pd)
-        rec = np.asarray(lt_combine(C_dec, plan_gaps))[: gaps.size]
+        rec = np.asarray(dec_recover(Ddj))[: gaps.size]
         assert np.array_equal(rec, D[gaps]), "decode verification FAILED"
-        log(f"K={K}: decode byte-equality verified over {gaps.size} recovered symbols")
+        log(f"K={K}: decode byte-equality verified over {gaps.size} recovered symbols"
+            + (" (dense-W path)" if wpath else " (structured replay)"))
 
     def dec_body(i, Dc):
-        C = _replay_jit(ad, Dc, pd)
-        if plan_gaps is not None:
-            s = lt_combine(C, plan_gaps)
-            ng = min(plan_gaps.n_pad, gaps.size)
-            return Dc.at[:ng].set(s[:ng])
-        return Dc.at[: min(P.L, int(Dc.shape[0]) - 1)].set(C[: min(P.L, int(Dc.shape[0]) - 1)])
+        s = dec_recover(Dc)
+        ng = min(int(s.shape[0]), max(gaps.size, 1))
+        return Dc.at[:ng].set(s[:ng])
 
     dec_per = timed_loop(dec_body, Ddj, iters)
 

@@ -483,18 +483,27 @@ class Decoder(_CodecBase):
         return D
 
     def _repair_launch(self, sbn: int, gaps: np.ndarray, overhead: int, ds, D_dev=None):
-        """Dispatch the block's device replay + gap LT combine (async).
+        """Dispatch the block's device recovery (async).
+
+        Two plan kinds (codec.cache.decoder_plan): a WSchedule runs ONE
+        GF(2) matmul of the dense combination matrix over gathered payload
+        rows (the small/mid-K' fast path, ops/wpath.py); a DeviceSchedule
+        runs the structured replay + gap LT combine.
 
         D_dev: optionally a pre-staged device payload matrix [ds.M_pad, T]
         (benchmarks stage it to keep host->device transfer out of timed
         regions; production callers leave it None)."""
         import jax.numpy as jnp
 
+        if D_dev is None:
+            D_dev = jnp.asarray(self._repair_D(sbn, gaps, overhead, ds.M_pad))
+        if isinstance(ds, _cache.WSchedule):
+            from nanorq_tpu.ops.wpath import w_matmul_gf2
+
+            return w_matmul_gf2(ds.staged(), D_dev)  # rows 0..gaps-1 = gap symbols
         from nanorq_tpu.ops.lt import lt_combine, lt_plan
         from nanorq_tpu.ops.replay import device_arrays, replay_device
 
-        if D_dev is None:
-            D_dev = jnp.asarray(self._repair_D(sbn, gaps, overhead, ds.M_pad))
         C = replay_device(device_arrays(ds), D_dev)
         plan = lt_plan(gaps.astype(np.uint32), self.P)  # gap ESIs == ISIs (< K)
         return lt_combine(C, plan)  # lazy device value (async dispatch)
@@ -513,7 +522,7 @@ class Decoder(_CodecBase):
         if isinstance(prep, bool):
             return prep
         gaps, isis, overhead = prep
-        ds = _cache.decoder_schedule(self.P, isis, overhead)
+        ds = _cache.decoder_plan(self.P, isis, overhead)
         if ds is None:
             from nanorq_tpu.utils import stats
 
@@ -551,7 +560,7 @@ class Decoder(_CodecBase):
         launched = []
         with ThreadPoolExecutor(max_workers=max_workers or 1) as ex:
             futs = [
-                (s, g, ov, ex.submit(_cache.decoder_schedule, self.P, isis, ov))
+                (s, g, ov, ex.submit(_cache.decoder_plan, self.P, isis, ov))
                 for s, g, isis, ov in work
             ]
             for sbn, gaps, ov, fut in futs:

@@ -121,6 +121,81 @@ def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
     return CSRRows(cols, ptr)
 
 
+class WSchedule:
+    """Per-pattern dense combination matrix (ops/wpath.py): the decode
+    device work is one GF(2) matmul over gathered payload rows.  Output
+    row r is the r-th requested gap symbol."""
+
+    __slots__ = ("Wbits", "rows", "M_pad", "n_out", "_staged")
+
+    def __init__(self, Wbits: np.ndarray, rows: np.ndarray, M_pad: int, n_out: int):
+        from nanorq_tpu.precode.device_schedule import _pad_rows
+
+        m_pad = _pad_rows(max(n_out, 1))
+        if Wbits.shape[0] != m_pad:  # quantize m so patterns share programs
+            Wp = np.zeros((m_pad, Wbits.shape[1]), np.uint8)
+            Wp[: Wbits.shape[0]] = Wbits
+            Wbits = Wp
+        self.Wbits, self.rows, self.M_pad, self.n_out = Wbits, rows, M_pad, n_out
+        self._staged = None
+
+    def staged(self):
+        if self._staged is None:
+            from nanorq_tpu.ops.wpath import stage_w_gf2
+
+            self._staged = stage_w_gf2(self.Wbits, self.rows)
+        return self._staged
+
+
+# Decode W-path cutover: above this K' the dense matmul's O(K'^2 t) loses
+# to the structured replay's O(nnz t) (measured: 5.4x faster at K=10000,
+# roughly break-even ~ K'=50000 where host W prep also hits ~140 ms).
+WPATH_MAX_KP = int(os.environ.get("NANORQ_WPATH_MAX_KP", 16384))
+
+
+def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
+    """Best decode plan for a pattern: a WSchedule (dense combination
+    matmul) when the factorization is binary and K' is in the dense-win
+    regime, else the structured DeviceSchedule.  Cached; None on rank
+    deficiency."""
+    from nanorq_tpu.utils import stats
+
+    key = b"P|%d|%d|" % (P.Kp, overhead) + np.ascontiguousarray(isis, np.uint32).tobytes()
+    with _dec_lock:
+        if key in _dec_cache:
+            _dec_cache.move_to_end(key)
+            stats.count("dec_schedule_cache_hit")
+            return _dec_cache[key]
+    with stats.timer("dec_solve"):
+        st = solve_state(P, _patched_rows(P, isis, overhead), overhead)
+    plan = None
+    if st is not None:
+        use_w = (
+            P.Kp <= WPATH_MAX_KP
+            and not st.hdpc_used
+            and getattr(st, "tri_edges", None) is not None
+        )
+        if use_w:
+            from nanorq_tpu.ops.wpath import w_rows_gf2
+            from nanorq_tpu.precode.device_schedule import _pad_rows
+            from nanorq_tpu.precode.matrix import lt_rows_csr
+
+            gaps = np.nonzero(isis[: P.Kp] != np.arange(P.Kp, dtype=np.uint32))[0]
+            M_pad = _pad_rows(st.M + 1)
+            with stats.timer("dec_wrows"):
+                Wbits, rows = w_rows_gf2(st, lt_rows_csr(gaps.astype(np.uint32), P), zero_row=M_pad - 1)
+            plan = WSchedule(Wbits, rows, M_pad, gaps.size)
+        else:
+            plan = compile_device(st)
+    if plan is None:
+        stats.count("decode_rank_deficient")
+    with _dec_lock:
+        _dec_cache[key] = plan
+        while len(_dec_cache) > _DEC_CAPACITY:
+            _dec_cache.popitem(last=False)
+    return plan
+
+
 def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None = None) -> DeviceSchedule | None:
     """Solve (or fetch) the schedule for a decode-side patched system.
 

@@ -73,6 +73,9 @@ class MemoryIO(IOContext):
         self._buf[offset : offset + n] = d[:n]
         return n
 
+    def size(self) -> int:
+        return len(self._buf)
+
 
 class FileIO(IOContext):
     """Buffered file-descriptor I/O (io.c:54-80)."""

@@ -555,6 +555,223 @@ void nrq_splice_rows(int32_t n, const int64_t* base_ptr, const int32_t* base_col
   }
 }
 
+// ---- W-row solve: combination matrix rows W with W A = G ------------------
+// Given the block factorization A = [[T, U], [B, V]] (T unit-lower-triangular
+// over the i pivot positions, Schur complement S = V ^ B T^-1 U with
+// precomputed S^-1), solve nrhs combination rows by transposed substitution:
+//   a  = g1 T^-1        (back-substitution over positions, descending)
+//   t2 = g2 ^ a U
+//   w2 = t2 S^-1
+//   w1 = (g1 ^ w2 B) T^-1
+// All arrays are position-major [len, nrhs] so every edge application is one
+// contiguous SIMD row XOR / axpy.  Byte-valued (GF(256)); for binary systems
+// (hdpc_used == 0) every value stays in {0, 1}.
+//
+// This powers the dense-W device path: the recovered/encoded symbols become
+// ONE GF(2)/GF(256) matmul W @ D on the MXU instead of the 2*ceil(L/CB)+4
+// stage structured replay (see ops/wpath.py).  No reference analog — the
+// reference replays its op schedule per symbol matrix (lib/precode.c:23-32).
+void nrq_wsolve(int32_t nrhs, int32_t i, int32_t u, int32_t H, int32_t hdpc_used,
+                int64_t n_tri, const int32_t* tri_ek, const int32_t* tri_ep,
+                int64_t n_ut, const int32_t* ut_ek, const int32_t* ut_uc,
+                int64_t n_bs, const int32_t* bs_sel, const int32_t* bs_pos,
+                const uint8_t* hd_cols,  // [H, i] HDPC entries at pivot positions (or null)
+                const int32_t* hd_sel,   // [u] sel slot -> HDPC row index, or -1 (or null)
+                const uint8_t* vinv,     // [u, u] S^-1
+                const uint8_t* g1,       // [i, nrhs]
+                const uint8_t* g2,       // [u, nrhs]
+                uint8_t* w1,             // out [i, nrhs]
+                uint8_t* w2) {           // out [u, nrhs]
+  const size_t R = (size_t)nrhs;
+  PhaseTimer pt;
+  // bucket triangle edges by their dep position p (incoming lists)
+  std::vector<int64_t> tptr((size_t)i + 1, 0);
+  for (int64_t e = 0; e < n_tri; e++) tptr[tri_ep[e] + 1]++;
+  for (int32_t p = 0; p < i; p++) tptr[p + 1] += tptr[p];
+  std::vector<int32_t> tsrc(n_tri);
+  {
+    std::vector<int64_t> cur(tptr.begin(), tptr.end() - 1);
+    for (int64_t e = 0; e < n_tri; e++) tsrc[cur[tri_ep[e]]++] = tri_ek[e];
+  }
+  auto trisolve_T = [&](uint8_t* a) {  // in: rhs rows, out: a = rhs T^-1
+    for (int32_t p = i - 1; p >= 0; p--) {
+      uint8_t* dst = a + (size_t)p * R;
+      for (int64_t e = tptr[p]; e < tptr[p + 1]; e++)
+        row_xor(dst, a + (size_t)tsrc[e] * R, nrhs);
+    }
+  };
+
+  pt.mark("ws_bucket");
+  memcpy(w1, g1, (size_t)i * R);
+  trisolve_T(w1);  // w1 holds a = g1 T^-1 for now
+  pt.mark("ws_tri1");
+
+  // t2 = g2 ^ a U  (ut edge (k, uc): t2[uc] ^= a[k])
+  std::vector<uint8_t> t2((size_t)u * R);
+  memcpy(t2.data(), g2, (size_t)u * R);
+  for (int64_t e = 0; e < n_ut; e++)
+    row_xor(t2.data() + (size_t)ut_uc[e] * R, w1 + (size_t)ut_ek[e] * R, nrhs);
+
+  pt.mark("ws_ut");
+  // w2 = t2 S^-1: w2[s] = XOR_c vinv[c][s] (x) t2[c]
+  memset(w2, 0, (size_t)u * R);
+  for (int32_t c = 0; c < u; c++) {
+    const uint8_t* vrow = vinv + (size_t)c * u;
+    const uint8_t* src = t2.data() + (size_t)c * R;
+    for (int32_t s = 0; s < u; s++) {
+      uint8_t b = vrow[s];
+      if (!b) continue;
+      uint8_t* dst = w2 + (size_t)s * R;
+      if (b == 1) row_xor(dst, src, nrhs);
+      else row_axpy(dst, src, b, nrhs);
+    }
+  }
+
+  pt.mark("ws_vinv");
+  // w1 = (g1 ^ w2 B) T^-1: binary sel rows via bs edges, HDPC rows dense
+  memcpy(w1, g1, (size_t)i * R);
+  for (int64_t e = 0; e < n_bs; e++)
+    row_xor(w1 + (size_t)bs_pos[e] * R, w2 + (size_t)bs_sel[e] * R, nrhs);
+  if (hdpc_used && hd_cols && hd_sel) {
+    for (int32_t s = 0; s < u; s++) {
+      int32_t h = hd_sel[s];
+      if (h < 0) continue;
+      const uint8_t* hrow = hd_cols + (size_t)h * i;
+      const uint8_t* src = w2 + (size_t)s * R;
+      for (int32_t p = 0; p < i; p++) {
+        uint8_t b = hrow[p];
+        if (!b) continue;
+        uint8_t* dst = w1 + (size_t)p * R;
+        if (b == 1) row_xor(dst, src, nrhs);
+        else row_axpy(dst, src, b, nrhs);
+      }
+    }
+  }
+  pt.mark("ws_bsel");
+  trisolve_T(w1);
+  pt.mark("ws_tri2");
+}
+
+// Bit-packed variant for binary factorizations (no HDPC pivots): the rhs
+// dimension is packed 64 combination rows per word, so every edge
+// application is RW word XORs — 8x the byte path's density, and the output
+// feeds a bit transpose instead of a byte scatter.  Layout: [len, RW]
+// uint64, bit r of word w = combination row 64w + r.
+void nrq_wsolve_gf2(int32_t nrhs_words, int32_t i, int32_t u,
+                    int64_t n_tri, const int32_t* tri_ek, const int32_t* tri_ep,
+                    int64_t n_ut, const int32_t* ut_ek, const int32_t* ut_uc,
+                    int64_t n_bs, const int32_t* bs_sel, const int32_t* bs_pos,
+                    const uint8_t* vinv,  // [u, u] 0/1
+                    const uint64_t* g1,   // [i, RW]
+                    const uint64_t* g2,   // [u, RW]
+                    uint64_t* w1,         // out [i, RW]
+                    uint64_t* w2) {       // out [u, RW]
+  const int32_t RW = nrhs_words;
+  PhaseTimer pt;
+  std::vector<int64_t> tptr((size_t)i + 1, 0);
+  for (int64_t e = 0; e < n_tri; e++) tptr[tri_ep[e] + 1]++;
+  for (int32_t p = 0; p < i; p++) tptr[p + 1] += tptr[p];
+  std::vector<int32_t> tsrc(n_tri);
+  {
+    std::vector<int64_t> cur(tptr.begin(), tptr.end() - 1);
+    for (int64_t e = 0; e < n_tri; e++) tsrc[cur[tri_ep[e]]++] = tri_ek[e];
+  }
+  auto wxor = [&](uint64_t* dst, const uint64_t* src) {
+    for (int32_t w = 0; w < RW; w++) dst[w] ^= src[w];
+  };
+  auto trisolve_T = [&](uint64_t* a) {
+    for (int32_t p = i - 1; p >= 0; p--) {
+      uint64_t* dst = a + (size_t)p * RW;
+      for (int64_t e = tptr[p]; e < tptr[p + 1]; e++) wxor(dst, a + (size_t)tsrc[e] * RW);
+    }
+  };
+
+  memcpy(w1, g1, (size_t)i * RW * 8);
+  trisolve_T(w1);
+  pt.mark("w2_tri1");
+
+  std::vector<uint64_t> t2((size_t)u * RW);
+  memcpy(t2.data(), g2, (size_t)u * RW * 8);
+  for (int64_t e = 0; e < n_ut; e++)
+    wxor(t2.data() + (size_t)ut_uc[e] * RW, w1 + (size_t)ut_ek[e] * RW);
+
+  memset(w2, 0, (size_t)u * RW * 8);
+  for (int32_t c = 0; c < u; c++) {
+    const uint8_t* vrow = vinv + (size_t)c * u;
+    const uint64_t* src = t2.data() + (size_t)c * RW;
+    for (int32_t s = 0; s < u; s++)
+      if (vrow[s]) wxor(w2 + (size_t)s * RW, src);
+  }
+
+  memcpy(w1, g1, (size_t)i * RW * 8);
+  for (int64_t e = 0; e < n_bs; e++)
+    wxor(w1 + (size_t)bs_pos[e] * RW, w2 + (size_t)bs_sel[e] * RW);
+  trisolve_T(w1);
+  pt.mark("w2_rest");
+}
+
+// 64x64-block bit transpose: dst bit [r, k] = src bit [k, r].
+// src: [n, RW] uint64 (bit r of word w = row 64w + r of the transpose);
+// dst: [nrhs, NW] uint64, NW = ceil(n/64).  Hacker's Delight 8x8 recursive
+// doubling on each 64x64 tile.
+static inline void t64(uint64_t* a) {
+  // little-endian bit order (bit r of a[k] = element (k, r)): the classic
+  // recursive-doubling swap with the shift direction flipped vs the
+  // MSB-first Hacker's Delight formulation
+  uint64_t m = 0x00000000FFFFFFFFull;
+  for (int j = 32; j; j >>= 1, m ^= m << j) {
+    for (int k = 0; k < 64; k = ((k | j) + 1) & ~j) {
+      uint64_t t = ((a[k] >> j) ^ a[k | j]) & m;
+      a[k] ^= t << j;
+      a[k | j] ^= t;
+    }
+  }
+}
+
+void nrq_bit_transpose(int32_t n, int32_t nrhs, const uint64_t* src, uint64_t* dst) {
+  const int32_t RW = (nrhs + 63) >> 6;
+  const int32_t NW = (n + 63) >> 6;
+  uint64_t tile[64];
+  memset(dst, 0, (size_t)nrhs * NW * 8);
+  for (int32_t kb = 0; kb < NW; kb++) {
+    int32_t kmax = n - kb * 64 < 64 ? n - kb * 64 : 64;
+    for (int32_t rb = 0; rb < RW; rb++) {
+      for (int32_t k = 0; k < kmax; k++) tile[k] = src[(size_t)(kb * 64 + k) * RW + rb];
+      for (int32_t k = kmax; k < 64; k++) tile[k] = 0;
+      t64(tile);
+      int32_t rmax = nrhs - rb * 64 < 64 ? nrhs - rb * 64 : 64;
+      for (int32_t r = 0; r < rmax; r++) dst[(size_t)(rb * 64 + r) * NW + kb] = tile[r];
+    }
+  }
+}
+
+// Transpose + column-scatter of a position-major solve result into W:
+//   W[r, rows[k]] = src[k, r]   (W [nrhs, n_cols] pre-zeroed)
+// Two passes: a cache-blocked transpose into a [nrhs, n] temp, then one
+// streaming scatter per W row (source contiguous, targets L1-resident
+// within the row).  A single-pass tiling revisits all of W per tile and
+// cost ~50 ms at K'=10017; the NumPy `W[:, rows] = src.T` was ~80 ms.
+void nrq_wscatter(int32_t nrhs, int32_t n, const int32_t* rows, int32_t n_cols,
+                  const uint8_t* src, uint8_t* W) {
+  const int TB = 64;
+  PhaseTimer pt;
+  std::vector<uint8_t> tr((size_t)nrhs * n);
+  for (int32_t k0 = 0; k0 < n; k0 += TB)
+    for (int32_t r0 = 0; r0 < nrhs; r0 += TB) {
+      int32_t k1 = k0 + TB < n ? k0 + TB : n;
+      int32_t r1 = r0 + TB < nrhs ? r0 + TB : nrhs;
+      for (int32_t k = k0; k < k1; k++)
+        for (int32_t r = r0; r < r1; r++) tr[(size_t)r * n + k] = src[(size_t)k * nrhs + r];
+    }
+  pt.mark("wsc_tr");
+  for (int32_t r = 0; r < nrhs; r++) {
+    const uint8_t* srow = tr.data() + (size_t)r * n;
+    uint8_t* wrow = W + (size_t)r * n_cols;
+    for (int32_t k = 0; k < n; k++) wrow[rows[k]] = srow[k];
+  }
+  pt.mark("wsc_sc");
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
