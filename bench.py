@@ -286,9 +286,21 @@ def bench_K(K, T, blocks, iters, rng):
     isis[P.Kp :] = rep_isis[gaps.size :]
     t0 = time.time()
     plan_dec = decoder_plan(P, isis, ov)
-    dec_solve_ms = 1e3 * (time.time() - t0)
+    dec_solve_ms = 1e3 * (time.time() - t0)  # cold: includes per-K' lazy caches
     assert plan_dec is not None
     wpath = isinstance(plan_dec, WSchedule)
+    # marginal per-pattern host prep (what a production stream of distinct
+    # loss patterns pays per block): fresh patterns, warm per-K' caches
+    for s in range(3):
+        rng2 = np.random.default_rng(1000 + s)
+        g2 = np.nonzero(rng2.random(K) < 0.06)[0]
+        i2 = np.arange(P.Kp + ov, dtype=np.uint32)
+        r2 = (np.arange(K, K + g2.size + ov) + (P.Kp - K)).astype(np.uint32)
+        i2[g2] = r2[: g2.size]
+        i2[P.Kp :] = r2[g2.size :]
+        t0 = time.time()
+        assert decoder_plan(P, i2, ov) is not None
+        dec_solve_ms = min(dec_solve_ms, 1e3 * (time.time() - t0))
 
     # true decode payload: received sources + real repair symbols in the gap
     # and overhead slots (generated from the encoder intermediates)

@@ -102,6 +102,33 @@ def run(n_devices: int) -> None:
         f"recovered bit-exact through the sharded patched-system step"
     )
 
+    # --- dense-W decode path (ops/wpath.py), the production small-K' plan:
+    # same pattern recovered via the sharded combination matmul
+    from nanorq_tpu.codec.cache import WPATH_MAX_KP, WSchedule, decoder_plan
+    from nanorq_tpu.parallel.mesh import w_step_sharded
+
+    isw = np.arange(P.Kp + P.H + 4, dtype=np.uint32)  # >= H overhead: binary solve
+    nrep2 = ngaps + P.H + 4
+    isw[gaps] = (P.Kp + np.arange(ngaps)).astype(np.uint32)
+    isw[P.Kp :] = (P.Kp + ngaps + np.arange(P.H + 4)).astype(np.uint32)
+    plan_w = decoder_plan(P, isw, overhead=P.H + 4)
+    assert isinstance(plan_w, WSchedule), "expected the dense-W plan at small K'"
+    plan_all = lt_plan(np.arange(P.Kp + nrep2, dtype=np.uint32), P)
+    _, sym2 = codec_step_sharded(arr, plan_all, Dsh, mesh)
+    sym2 = np.asarray(sym2)
+    D3 = np.zeros((plan_w.M_pad, blocks * T), np.uint8)
+    D3[:K] = D[:K]
+    D3[gaps] = sym2[P.Kp : P.Kp + ngaps]
+    D3[P.Kp : P.Kp + P.H + 4] = sym2[P.Kp + ngaps : P.Kp + nrep2]
+    rec2 = np.asarray(w_step_sharded(plan_w.staged(), shard_width(D3, mesh), mesh))
+    assert np.array_equal(rec2[: gaps.size], D[gaps]), (
+        "sharded dense-W decode failed to recover dropped sources bit-exact"
+    )
+    print(
+        f"dryrun_multichip({n_devices}): dense-W decode OK — {gaps.size} gaps "
+        f"recovered bit-exact via the sharded combination matmul"
+    )
+
 
 def spawn(n_devices: int) -> None:
     """Run the dryrun in a fresh interpreter with a forced n-device CPU platform."""

@@ -87,6 +87,22 @@ def codec_step_sharded(arr: dict, plan, D: jnp.ndarray, mesh: Mesh):
     return jax.jit(f)(a, tree, D)
 
 
+def w_step_sharded(staged: dict, D: jnp.ndarray, mesh: Mesh):
+    """Sharded dense-W decode (ops/wpath.py): W bits replicated, payload
+    width sharded — the matmul is elementwise in the t axis, so this is the
+    same zero-collective SPMD layout as the replay path."""
+    from nanorq_tpu.ops.wpath import _w_gf2_jit
+
+    f = shard_map(
+        partial(_w_gf2_jit, pallas=staged["pallas"]),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, "blocks")),
+        out_specs=P(None, "blocks"),
+        check_vma=False,
+    )
+    return jax.jit(f)(staged["bits"], staged["rows"], D)
+
+
 def shard_width(D: np.ndarray, mesh: Mesh):
     """Place a host payload matrix with its width axis sharded over the mesh."""
     sh = NamedSharding(mesh, P(None, "blocks"))
