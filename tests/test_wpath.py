@@ -152,6 +152,46 @@ def test_w_matmul_gf2_device_parity():
     assert np.array_equal(got, gf_matmul(W, D))
 
 
+def test_repair_block_wpath_equals_structured(monkeypatch):
+    """The public repair path must produce identical bytes whichever plan
+    decoder_plan picks: run a lossy round trip with the dense-W plan, then
+    force the structured replay (WPATH_MAX_KP=0) on the same packets."""
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    K, T = 200, 64
+    rng = np.random.default_rng(21)
+    F = K * T
+    data = rng.integers(0, 256, F, dtype=np.uint8)
+    enc = Encoder(F, T, Al=1, Z=1)
+    src = MemoryIO(data)
+    gaps = np.sort(rng.choice(K, size=30, replace=False))
+    keep = np.setdiff1d(np.arange(K), gaps)
+    rep_esis = np.arange(K, K + 50)  # 20 overhead > H: binary factorization
+    rep_pl = enc.encode_batch(0, rep_esis, src)
+    payloads = data.reshape(K, T)
+
+    outs = []
+    for max_kp in (cc.WPATH_MAX_KP, 0):
+        monkeypatch.setattr(cc, "WPATH_MAX_KP", max_kp)
+        cc.clear_decoder_cache()
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        out = np.zeros(F, np.uint8)
+        io = MemoryIO(out)
+        dec.add_symbols(payloads[keep], [make_tag(0, int(e)) for e in keep], io)
+        dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
+        plan = cc.decoder_plan(dec.P, dec._repair_prepare(0)[1], dec._repair_prepare(0)[2])
+        if max_kp:
+            assert isinstance(plan, cc.WSchedule)
+        else:
+            assert not isinstance(plan, cc.WSchedule)
+        assert dec.repair_block(io, 0)
+        outs.append(out.copy())
+    assert np.array_equal(outs[0], data) and np.array_equal(outs[1], data)
+
+
 def test_w_matmul_device_parity():
     """stage_w + w_matmul (XLA backend on CPU) == host gf_matmul."""
     from nanorq_tpu.ops.wpath import stage_w, w_matmul, w_rows
