@@ -38,6 +38,37 @@ def test_sharded_codec_step_matches_single_device():
     assert np.array_equal(np.asarray(sym_sh)[:K], D[:K])
 
 
+def test_sharded_w_step_matches_single_device():
+    """Dense-W decode under shard_map == single-device w_matmul_gf2."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanorq_tpu.codec.cache import WSchedule, decoder_plan
+    from nanorq_tpu.ops.wpath import w_matmul_gf2
+    from nanorq_tpu.parallel.mesh import make_mesh, shard_width, w_step_sharded
+    from nanorq_tpu.rfc.params import params_init
+
+    assert len(jax.devices()) == 8
+    K, T, B = 100, 64, 16
+    P = params_init(K)
+    rng = np.random.default_rng(3)
+    gaps = np.sort(rng.choice(K, size=6, replace=False))
+    ov = P.H + 4
+    isis = np.arange(P.Kp + ov, dtype=np.uint32)
+    rep = (P.Kp + np.arange(gaps.size + ov)).astype(np.uint32)
+    isis[gaps] = rep[: gaps.size]
+    isis[P.Kp :] = rep[gaps.size :]
+    plan = decoder_plan(P, isis, ov)
+    assert isinstance(plan, WSchedule)
+    D = np.zeros((plan.M_pad, B * T), np.uint8)
+    D[: P.Kp + ov] = rng.integers(0, 256, (P.Kp + ov, B * T), dtype=np.uint8)
+
+    mesh = make_mesh()
+    got = np.asarray(w_step_sharded(plan.staged(), shard_width(D, mesh), mesh))
+    want = np.asarray(w_matmul_gf2(plan.staged(), jnp.asarray(D)))
+    assert np.array_equal(got, want)
+
+
 def test_dryrun_multichip_self_provisions():
     """The driver gate: dryrun_multichip must provision its own virtual mesh
     (fresh interpreter, forced-CPU env) regardless of this process's backend."""
