@@ -134,10 +134,12 @@ def w_rows(st: SolveState, out_rows: CSRRows, n_cols: int | None = None) -> tupl
 
 
 def _pack_rhs(idx_r, idx_c, n, RW8):
-    """[n, RW8] uint8 little-bit-packed rhs from scatter indices."""
-    u = np.zeros((n, RW8 * 8), np.uint8)
-    u[idx_r, idx_c] = 1
-    return np.packbits(u, axis=1, bitorder="little")
+    """[n, RW8] uint8 little-bit-packed rhs from scatter indices (entries are
+    unique per row, so or-accumulation is exact; packing directly avoids
+    materializing the [n, 8*RW8] unpacked array — 157 MB at K'=50511)."""
+    u = np.zeros((n, RW8), np.uint8)
+    np.bitwise_or.at(u, (idx_r, idx_c >> 3), (np.uint8(1) << (idx_c & 7).astype(np.uint8)))
+    return u
 
 
 def w_rows_gf2(st: SolveState, out_rows: CSRRows, zero_row: int):
