@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Regenerate the README.md / BENCH_NOTES.md performance tables verbatim
+from a driver-captured bench JSON (BENCH_r*.json) — the docs' numbers are
+generation-locked to the captured artifact, never hand-edited.
+
+    python tools/regen_docs.py BENCH_r03.json
+"""
+
+import json
+import re
+import sys
+
+REF = {  # Mb/s, BASELINE.md
+    "100": (5450, 10200, 5600, 5800),
+    "500": (4750, 8200, 4800, 6750),
+    "1000": (4700, 7900, 4850, 6600),
+    "5000": (3750, 5900, 3900, 5000),
+    "10000": (2900, 4050, 3000, 3550),
+    "50000": (1500, 2100, 1550, 1950),
+}
+
+BEGIN = "<!-- BENCH_TABLE:BEGIN (tools/regen_docs.py) -->"
+END = "<!-- BENCH_TABLE:END -->"
+
+
+def readme_table(det):
+    rows = [
+        "| K | encode Gbps (ref precalc) | fresh encode (ref encode) | decode @6% loss (ref) | decode 0% loss (ref) | agg x ref |",
+        "|---|---|---|---|---|---|",
+    ]
+    for k in sorted(det, key=int):
+        r = det[k]
+        e, p, d0, doh = REF[k]
+        rows.append(
+            f"| {k} | **{r['encode']:.1f}** ({p/1e3:.2f}) | **{r['encode_fresh']:.1f}** ({e/1e3:.2f}) "
+            f"| **{r['decode']:.1f}** ({doh/1e3:.2f}) | **{r['decode0']:.1f}** ({d0/1e3:.2f}) "
+            f"| {r.get('vs_ref', 0):.1f}x |"
+        )
+    return "\n".join(rows)
+
+
+def notes_table(det):
+    rows = [
+        "| K | encode | fresh | decode @6% | decode0 | agg | vs ref | enc/dec prep ms | pipe |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for k in sorted(det, key=int):
+        r = det[k]
+        pipe = f"{r['pipe_speedup']:.2f}x" if "pipe_speedup" in r else "-"
+        rows.append(
+            f"| {k} | {r['encode']:.1f} | {r['encode_fresh']:.1f} | {r['decode']:.1f} "
+            f"| {r['decode0']:.1f} | {r['agg']:.1f} | {r.get('vs_ref', 0):.2f}x "
+            f"| {r['solve_ms']:.0f} / {r['dec_solve_ms']:.0f} | {pipe} |"
+        )
+    return "\n".join(rows)
+
+
+def splice(path, table, src_name):
+    text = open(path).read()
+    block = f"{BEGIN}\n{table}\n\n(All values Gbps, generated from `{src_name}`.)\n{END}"
+    pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.S)
+    if not pat.search(text):
+        raise SystemExit(f"{path}: markers not found")
+    open(path, "w").write(pat.sub(block, text))
+    print(f"regenerated table in {path}")
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r03.json"
+    rec = json.loads(open(src).read().strip().splitlines()[-1])
+    det = rec["detail"]
+    splice("README.md", readme_table(det), src)
+    splice("BENCH_NOTES.md", notes_table(det), src)
+    print(
+        f"headline: {rec['metric']} = {rec['value']} {rec['unit']} "
+        f"({rec['vs_baseline']}x; grid min {rec.get('vs_baseline_min_over_grid')}x)"
+    )
+
+
+if __name__ == "__main__":
+    main()
