@@ -34,6 +34,25 @@ from nanorq_tpu.precode.matrix import CSRRows, hdpc_full_rows
 from nanorq_tpu.precode.solver import SolveState
 
 
+def _pattern_edges(st: SolveState, out_rows: CSRRows):
+    """Shared rhs/edge extraction for both W builders: output-row entries in
+    the pivot basis plus the binary sel-row dep edges."""
+    nrhs = len(out_rows)
+    kk, cols = out_rows.select_flat(np.arange(nrhs))
+    pos = st.pivpos_of_col[cols]
+    uc = st.ucol_of[cols]
+
+    order_sel = st.order[st.i : st.i + st.u]
+    bin_slots = np.nonzero(order_sel < st.NB)[0]
+    rc = st.rows_cols if isinstance(st.rows_cols, CSRRows) else CSRRows.from_list(st.rows_cols)
+    skk, scols = rc.select_flat(order_sel[bin_slots])
+    spos = st.pivpos_of_col[scols]
+    sm = spos >= 0
+    bs_sel = np.ascontiguousarray(bin_slots[skk[sm]], np.int32)
+    bs_pos = np.ascontiguousarray(spos[sm], np.int32)
+    return nrhs, kk, pos, uc, order_sel, bin_slots, bs_sel, bs_pos
+
+
 def w_rows(st: SolveState, out_rows: CSRRows, n_cols: int | None = None) -> tuple[np.ndarray, bool]:
     """Combination rows W [nout, n_cols] with (W A)[r] = out row r.
 
@@ -69,29 +88,16 @@ def w_rows(st: SolveState, out_rows: CSRRows, n_cols: int | None = None) -> tupl
 
     P = st.P
     i, u = st.i, st.u
-    nrhs = len(out_rows)
     NB = st.NB
+    nrhs, kk, pos, uc, order_sel, bin_slots, bs_sel, bs_pos = _pattern_edges(st, out_rows)
 
     # rhs in the pivot basis: g1 [i, nrhs] (pivot positions), g2 [u, nrhs]
-    kk, cols = out_rows.select_flat(np.arange(nrhs))
-    pos = st.pivpos_of_col[cols]
-    uc = st.ucol_of[cols]
     g1 = np.zeros((max(i, 1), nrhs), np.uint8)
     g2 = np.zeros((max(u, 1), nrhs), np.uint8)
     m = pos >= 0
     g1[pos[m], kk[m]] = 1
     m = uc >= 0
     g2[uc[m], kk[m]] = 1
-
-    # binary sel-row dep edges (s, pivot position)
-    order_sel = st.order[i : i + u]
-    bin_slots = np.nonzero(order_sel < NB)[0]
-    rc = st.rows_cols if isinstance(st.rows_cols, CSRRows) else CSRRows.from_list(st.rows_cols)
-    skk, scols = rc.select_flat(order_sel[bin_slots])
-    spos = st.pivpos_of_col[scols]
-    sm = spos >= 0
-    bs_sel = np.ascontiguousarray(bin_slots[skk[sm]], np.int32)
-    bs_pos = np.ascontiguousarray(spos[sm], np.int32)
 
     hd_cols = np.zeros(0, np.uint8)
     hd_sel = np.full(max(u, 1), -1, np.int32)
@@ -176,27 +182,14 @@ def w_rows_gf2(st: SolveState, out_rows: CSRRows, zero_row: int):
         lib._wgf2_bound = True
 
     i, u = st.i, st.u
-    nrhs = len(out_rows)
-    NB = st.NB
+    nrhs, kk, pos, uc, order_sel, bin_slots, bs_sel, bs_pos = _pattern_edges(st, out_rows)
     RW = -(-nrhs // 64)
     RW8 = RW * 8
 
-    kk, cols = out_rows.select_flat(np.arange(nrhs))
-    pos = st.pivpos_of_col[cols]
-    uc = st.ucol_of[cols]
     m = pos >= 0
     g1 = _pack_rhs(pos[m], kk[m], max(i, 1), RW8)
     m = uc >= 0
     g2 = _pack_rhs(uc[m], kk[m], max(u, 1), RW8)
-
-    order_sel = st.order[i : i + u]
-    bin_slots = np.nonzero(order_sel < NB)[0]
-    rc = st.rows_cols if isinstance(st.rows_cols, CSRRows) else CSRRows.from_list(st.rows_cols)
-    skk, scols = rc.select_flat(order_sel[bin_slots])
-    spos = st.pivpos_of_col[scols]
-    sm = spos >= 0
-    bs_sel = np.ascontiguousarray(bin_slots[skk[sm]], np.int32)
-    bs_pos = np.ascontiguousarray(spos[sm], np.int32)
 
     tri_ek, tri_ep = st.tri_edges
     ut_ek, ut_uc = st.ut_edges
