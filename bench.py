@@ -315,12 +315,9 @@ def bench_K(K, T, blocks, iters, rng):
     Ddj = jnp.asarray(Dd)
 
     if wpath:
-        from nanorq_tpu.ops.wpath import w_matmul_gf2
-
-        staged_w = plan_dec.staged()
 
         def dec_recover(Dc):
-            return w_matmul_gf2(staged_w, Dc)
+            return plan_dec.apply(Dc)
 
     else:
         arr_d = device_arrays(plan_dec)

@@ -498,9 +498,7 @@ class Decoder(_CodecBase):
         if D_dev is None:
             D_dev = jnp.asarray(self._repair_D(sbn, gaps, overhead, ds.M_pad))
         if isinstance(ds, _cache.WSchedule):
-            from nanorq_tpu.ops.wpath import w_matmul_gf2
-
-            return w_matmul_gf2(ds.staged(), D_dev)  # rows 0..gaps-1 = gap symbols
+            return ds.apply(D_dev)  # rows 0..gaps-1 = gap symbols
         from nanorq_tpu.ops.lt import lt_combine, lt_plan
         from nanorq_tpu.ops.replay import device_arrays, replay_device
 

@@ -123,41 +123,64 @@ def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
 
 class WSchedule:
     """Per-pattern dense combination matrix (ops/wpath.py): the decode
-    device work is one GF(2) matmul over gathered payload rows.  Output
-    row r is the r-th requested gap symbol."""
+    device work is one GF(2)/GF(256) matmul.  Output row r is the r-th
+    requested gap symbol.  Two forms: gathered packed-bit GF(2) for binary
+    factorizations, byte GF(256) for HDPC-pivot factorizations (e.g.
+    overhead < H patterns at small K)."""
 
-    __slots__ = ("Wbits", "rows", "M_pad", "n_out", "_staged")
+    __slots__ = ("Wbits", "rows", "W", "M_pad", "n_out", "_staged")
 
-    def __init__(self, Wbits: np.ndarray, rows: np.ndarray, M_pad: int, n_out: int):
+    def __init__(self, M_pad: int, n_out: int, Wbits=None, rows=None, W=None):
         from nanorq_tpu.precode.device_schedule import _pad_rows
 
         m_pad = _pad_rows(max(n_out, 1))
-        if Wbits.shape[0] != m_pad:  # quantize m so patterns share programs
-            Wp = np.zeros((m_pad, Wbits.shape[1]), np.uint8)
-            Wp[: Wbits.shape[0]] = Wbits
-            Wbits = Wp
-        self.Wbits, self.rows, self.M_pad, self.n_out = Wbits, rows, M_pad, n_out
+
+        def mquant(A):  # quantize m so patterns share compiled programs
+            if A.shape[0] == m_pad:
+                return A
+            Ap = np.zeros((m_pad, A.shape[1]), np.uint8)
+            Ap[: A.shape[0]] = A
+            return Ap
+
+        self.Wbits = None if Wbits is None else mquant(Wbits)
+        self.rows = rows
+        self.W = None if W is None else mquant(W)
+        self.M_pad, self.n_out = M_pad, n_out
         self._staged = None
 
     def staged(self):
         if self._staged is None:
-            from nanorq_tpu.ops.wpath import stage_w_gf2
+            from nanorq_tpu.ops.wpath import stage_w, stage_w_gf2
 
-            self._staged = stage_w_gf2(self.Wbits, self.rows)
+            self._staged = (
+                stage_w_gf2(self.Wbits, self.rows)
+                if self.Wbits is not None
+                else stage_w(self.W, binary=False)
+            )
         return self._staged
 
+    def apply(self, D_dev):
+        """Dispatch the recovery matmul (async); rows [:n_out] are the gaps."""
+        from nanorq_tpu.ops.wpath import w_matmul, w_matmul_gf2
 
-# Decode W-path cutover: above this K' the dense matmul's O(K'^2 t) loses
-# to the structured replay's O(nnz t) (measured: 5.4x faster at K=10000,
-# roughly break-even ~ K'=50000 where host W prep also hits ~140 ms).
+        s = self.staged()
+        return w_matmul_gf2(s, D_dev) if self.Wbits is not None else w_matmul(s, D_dev)
+
+
+# Decode W-path cutover: above these K' the dense matmul's O(K'^2 t) FLOPs
+# lose to the structured replay's O(nnz t).  GF(2) (binary factorization)
+# measured 5.4x faster at K=10000, break-even ~K'=50000 (where host W prep
+# also hits ~140 ms).  GF(256) W pays 64x the bit count but its m is only
+# the (tiny) gap count, so it still wins at small K' — which is exactly
+# where overhead < H forces HDPC pivots.
 WPATH_MAX_KP = int(os.environ.get("NANORQ_WPATH_MAX_KP", 16384))
+WPATH_GF256_MAX_KP = int(os.environ.get("NANORQ_WPATH_GF256_MAX_KP", 4096))
 
 
 def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
     """Best decode plan for a pattern: a WSchedule (dense combination
-    matmul) when the factorization is binary and K' is in the dense-win
-    regime, else the structured DeviceSchedule.  Cached; None on rank
-    deficiency."""
+    matmul) in the dense-win regime, else the structured DeviceSchedule.
+    Cached; None on rank deficiency."""
     from nanorq_tpu.utils import stats
 
     key = b"P|%d|%d|" % (P.Kp, overhead) + np.ascontiguousarray(isis, np.uint32).tobytes()
@@ -170,21 +193,24 @@ def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
         st = solve_state(P, _patched_rows(P, isis, overhead), overhead)
     plan = None
     if st is not None:
-        use_w = (
-            P.Kp <= WPATH_MAX_KP
-            and not st.hdpc_used
-            and getattr(st, "tri_edges", None) is not None
-        )
-        if use_w:
-            from nanorq_tpu.ops.wpath import w_rows_gf2
+        native = getattr(st, "tri_edges", None) is not None
+        use_gf2 = native and not st.hdpc_used and P.Kp <= WPATH_MAX_KP
+        use_gf256 = native and st.hdpc_used and P.Kp <= WPATH_GF256_MAX_KP
+        if use_gf2 or use_gf256:
+            from nanorq_tpu.ops.wpath import w_rows, w_rows_gf2
             from nanorq_tpu.precode.device_schedule import _pad_rows
             from nanorq_tpu.precode.matrix import lt_rows_csr
 
             gaps = np.nonzero(isis[: P.Kp] != np.arange(P.Kp, dtype=np.uint32))[0]
             M_pad = _pad_rows(st.M + 1)
+            out_rows = lt_rows_csr(gaps.astype(np.uint32), P)
             with stats.timer("dec_wrows"):
-                Wbits, rows = w_rows_gf2(st, lt_rows_csr(gaps.astype(np.uint32), P), zero_row=M_pad - 1)
-            plan = WSchedule(Wbits, rows, M_pad, gaps.size)
+                if use_gf2:
+                    Wbits, rows = w_rows_gf2(st, out_rows, zero_row=M_pad - 1)
+                    plan = WSchedule(M_pad, gaps.size, Wbits=Wbits, rows=rows)
+                else:
+                    W, _binary = w_rows(st, out_rows, n_cols=M_pad)
+                    plan = WSchedule(M_pad, gaps.size, W=W)
         else:
             plan = compile_device(st)
     if plan is None:

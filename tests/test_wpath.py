@@ -192,6 +192,44 @@ def test_repair_block_wpath_equals_structured(monkeypatch):
     assert np.array_equal(outs[0], data) and np.array_equal(outs[1], data)
 
 
+def test_repair_block_gf256_wplan(monkeypatch):
+    """overhead < H forces HDPC pivots; the GF(256) W plan must still
+    round-trip and match the structured plan byte-for-byte."""
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    K, T = 100, 64
+    rng = np.random.default_rng(5)
+    F = K * T
+    data = rng.integers(0, 256, F, dtype=np.uint8)
+    enc = Encoder(F, T, Al=1, Z=1)
+    src = MemoryIO(data)
+    gaps = np.sort(rng.choice(K, size=8, replace=False))
+    keep = np.setdiff1d(np.arange(K), gaps)
+    rep_esis = np.arange(K, K + gaps.size + 3)  # 3 overhead < H
+    rep_pl = enc.encode_batch(0, rep_esis, src)
+    payloads = data.reshape(K, T)
+
+    for gf256_kp in (cc.WPATH_GF256_MAX_KP, 0):
+        monkeypatch.setattr(cc, "WPATH_GF256_MAX_KP", gf256_kp)
+        cc.clear_decoder_cache()
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        out = np.zeros(F, np.uint8)
+        io = MemoryIO(out)
+        dec.add_symbols(payloads[keep], [make_tag(0, int(e)) for e in keep], io)
+        dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
+        _, isis, ov = dec._repair_prepare(0)
+        plan = cc.decoder_plan(dec.P, isis, ov)
+        if gf256_kp:
+            assert isinstance(plan, cc.WSchedule) and plan.W is not None
+        else:
+            assert not isinstance(plan, cc.WSchedule)
+        assert dec.repair_block(io, 0)
+        assert np.array_equal(out, data)
+
+
 def test_w_matmul_device_parity():
     """stage_w + w_matmul (XLA backend on CPU) == host gf_matmul."""
     from nanorq_tpu.ops.wpath import stage_w, w_matmul, w_rows
