@@ -90,11 +90,15 @@ def bench_decode0(K, T, blocks, iters):
     enc = Encoder(F, T, Al=8, Z=blocks)
     payloads = data.reshape(blocks * K, T)
     tags = np.array([make_tag(sbn, e) for sbn in range(blocks) for e in range(K)], np.int64)
+    # output buffer allocated once, like the reference's run loop
+    # (benchmark.c:172-217) — fresh pages would otherwise put ~20 ms of
+    # page faults inside the timed region at 40 MB batches
+    out = np.zeros(F, np.uint8)
+    io = MemoryIO(out)
     best = float("inf")
     for _ in range(max(3, iters)):
         dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
-        out = np.zeros(F, np.uint8)
-        io = MemoryIO(out)
+        out[:] = 0
         t0 = time.time()
         sts = dec.add_symbols(payloads, tags, io)  # whole burst, all blocks
         assert sts[0] == SYM_ADDED
