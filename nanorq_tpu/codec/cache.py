@@ -257,7 +257,9 @@ def save_schedule(ds: DeviceSchedule, path: str) -> None:
 def load_schedule(path: str) -> DeviceSchedule:
     with open(path, "rb") as f:
         ds = pickle.load(f)
-    assert isinstance(ds, DeviceSchedule)
+    # reject checkpoints from before a schema change (e.g. pre-Wut pickles
+    # restore without the field the executor now requires)
+    assert isinstance(ds, DeviceSchedule) and getattr(ds, "wut", None) is not None
     return ds
 
 
@@ -276,10 +278,14 @@ def warm_encoder_cache(Kp: int, cache_dir: str | None = None, CB: int | None = N
         if key in _enc_cache:
             return _enc_cache[key]
     if os.path.exists(path):
-        ds = load_schedule(path)
-        with _enc_lock:
-            _enc_cache[key] = ds
-        return ds
+        try:
+            ds = load_schedule(path)
+        except Exception:
+            os.unlink(path)  # stale schema: re-solve and overwrite below
+        else:
+            with _enc_lock:
+                _enc_cache[key] = ds
+            return ds
     ds = encoder_schedule(Kp, CB)
     os.makedirs(cache_dir, exist_ok=True)
     save_schedule(ds, path)

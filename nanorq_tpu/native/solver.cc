@@ -745,6 +745,36 @@ void nrq_bit_transpose(int32_t n, int32_t nrhs, const uint64_t* src, uint64_t* d
   }
 }
 
+// Wut = T^-1 U_t over GF(2), columns (the u dimension) bit-packed 64 per
+// word.  Forward substitution over the triangle's cross/in-chunk dep edges
+// in pivot-position order: x[k] = U_t[k] ^ XOR_{(k,p)} x[p], p < k.  Edges
+// may arrive in any order; they are CSR-bucketed by receiving position
+// first.  This folds the replay's stage-4 sparse gather and stage-5 second
+// trisolve into one host-precomputed dense bit matrix (the device then runs
+// x_a = z ^ Wut x_u as a single MXU matmul).
+void nrq_wut_solve(int32_t i, int32_t WW,
+                   int64_t n_tri, const int32_t* tri_ek, const int32_t* tri_ep,
+                   int64_t n_ut, const int32_t* ut_ek, const int32_t* ut_uc,
+                   uint64_t* x) {  // [i, WW], zero-initialized by caller
+  for (int64_t e = 0; e < n_ut; e++)
+    x[(size_t)ut_ek[e] * WW + (ut_uc[e] >> 6)] |= 1ull << (ut_uc[e] & 63);
+  std::vector<int64_t> ptr((size_t)i + 1, 0);
+  for (int64_t e = 0; e < n_tri; e++) ptr[tri_ek[e] + 1]++;
+  for (int32_t k = 0; k < i; k++) ptr[k + 1] += ptr[k];
+  std::vector<int32_t> src(n_tri);
+  {
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t e = 0; e < n_tri; e++) src[cur[tri_ek[e]]++] = tri_ep[e];
+  }
+  for (int32_t k = 0; k < i; k++) {
+    uint64_t* dst = x + (size_t)k * WW;
+    for (int64_t e = ptr[k]; e < ptr[k + 1]; e++) {
+      const uint64_t* s = x + (size_t)src[e] * WW;
+      for (int32_t w = 0; w < WW; w++) dst[w] ^= s[w];
+    }
+  }
+}
+
 // Transpose + column-scatter of a position-major solve result into W:
 //   W[r, rows[k]] = src[k, r]   (W [nrhs, n_cols] pre-zeroed)
 // Two passes: a cache-blocked transpose into a [nrhs, n] temp, then one

@@ -104,8 +104,8 @@ def companion_bits_blocked(M: np.ndarray, kb: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _gf2_kernel(bits_ref, x_ref, o_ref, acc_ref):
-    nk = pl.num_programs(1)
-    kk = pl.program_id(1)
+    nk = pl.num_programs(2)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -144,13 +144,16 @@ def _pick_tw(t: int, cap: int) -> int | None:
     return None
 
 
-@partial(jax.jit, static_argnames=("tw", "kb"))
-def gf2_matmul_pallas(bits: jnp.ndarray, X: jnp.ndarray, tw: int | None = None, kb: int = 1024) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("tw", "kb", "mb"))
+def gf2_matmul_pallas(bits: jnp.ndarray, X: jnp.ndarray, tw: int | None = None, kb: int = 1024, mb: int | None = None) -> jnp.ndarray:
     m, k = bits.shape
     k2, t = X.shape
     assert k == k2
+    if mb is None:
+        mb = m
+    assert m % mb == 0
     if tw is None:
-        tw = _pick_tw(t, (4 << 20) // (32 * m))  # int32 acc [m, 8tw] <= 4MB (stack OOMs at 8MB)
+        tw = _pick_tw(t, (4 << 20) // (32 * mb))  # int32 acc [mb, 8tw] <= 4MB (stack OOMs at 8MB)
         assert tw is not None, f"payload width {t} not tileable"
     tw = min(tw, t)
     kb = min(kb, k)
@@ -158,25 +161,25 @@ def gf2_matmul_pallas(bits: jnp.ndarray, X: jnp.ndarray, tw: int | None = None, 
     if kb == k:
         return pl.pallas_call(
             _gf2_kernel_1k,
-            grid=(t // tw,),
+            grid=(m // mb, t // tw),
             in_specs=[
-                pl.BlockSpec((m, k), lambda j: (0, 0)),
-                pl.BlockSpec((k, tw), lambda j: (0, j)),
+                pl.BlockSpec((mb, k), lambda im, j: (im, 0)),
+                pl.BlockSpec((k, tw), lambda im, j: (0, j)),
             ],
-            out_specs=pl.BlockSpec((m, tw), lambda j: (0, j)),
+            out_specs=pl.BlockSpec((mb, tw), lambda im, j: (im, j)),
             out_shape=jax.ShapeDtypeStruct((m, t), jnp.uint8),
         )(bits, X)
-    grid = (t // tw, k // kb)
+    grid = (m // mb, t // tw, k // kb)
     return pl.pallas_call(
         _gf2_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, kb), lambda j, kk: (0, kk)),
-            pl.BlockSpec((kb, tw), lambda j, kk: (kk, j)),
+            pl.BlockSpec((mb, kb), lambda im, j, kk: (im, kk)),
+            pl.BlockSpec((kb, tw), lambda im, j, kk: (kk, j)),
         ],
-        out_specs=pl.BlockSpec((m, tw), lambda j, kk: (0, j)),
+        out_specs=pl.BlockSpec((mb, tw), lambda im, j, kk: (im, j)),
         out_shape=jax.ShapeDtypeStruct((m, t), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((m, 8 * tw), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((mb, 8 * tw), jnp.int32)],
     )(bits, X)
 
 

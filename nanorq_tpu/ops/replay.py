@@ -122,7 +122,7 @@ def device_arrays(ds: DeviceSchedule, backend: str | None = None) -> dict:
         "hd_sel": None if ds.mhd is None else j(ds.hd_sel),
         "mhd_bits": mhd_bits,
         "vinv_bits": vinv_bits,
-        "ut": _plan_arrays(ds.ut),
+        "wut_bits": jnp.asarray(ds.wut),  # pre-packed [Lpad, u_pad/8]
         "out_sel": j(ds.out_sel),
     }
     ds._dev_arrays = (backend, arr)
@@ -134,6 +134,18 @@ def _gf2mm(pallas: bool, bits, X):
         from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
 
         return gf2_matmul_pallas(bits, X)
+    return gfmat.gf2_matmul(bits, X)
+
+
+def _gf2mm_wide(pallas: bool, bits, X):
+    """GF(2) matmul with a tall lhs (m = Lpad): tile m so the int32
+    accumulator block stays within VMEM."""
+    if pallas and X.shape[1] % 128 == 0:
+        from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
+
+        m = bits.shape[0]
+        mb = m if m <= 512 else (512 if m % 512 == 0 else 256)  # Lpad % CB == 0
+        return gf2_matmul_pallas(bits, X, mb=mb)
     return gfmat.gf2_matmul(bits, X)
 
 
@@ -266,7 +278,7 @@ def _count_signature(arr: dict, t: int) -> None:
         arr["piv_rows"].shape[0],
         tuple((s["tinv"].shape, s["bounds"].value, tuple(ix.shape for ix in s["ridx"])) for s in arr["tri"]),
         tuple(p.shape for p in arr["bsel"][0]),
-        tuple(p.shape for p in arr["ut"][0]),
+        arr["wut_bits"].shape,
         None if arr["mhd_bits"] is None else arr["mhd_bits"].shape,
         arr["vinv_bits"].shape,
         arr["out_sel"].shape,
@@ -305,13 +317,11 @@ def _replay_jit(arr: dict, D: jnp.ndarray, pallas: bool) -> jnp.ndarray:
     # stage 3: x_u = Vinv zsel
     xu = _gf256mm(pallas, _unpack_bits(arr["vinv_bits"]), zsel, min(u_pad, VINV_KB))  # [u_pad, t]
 
-    # stage 4: w = y ^ U_t x_u (original sparse entries)
-    xu_ext = jnp.concatenate([xu, jnp.zeros((1, t), jnp.uint8)], axis=0)
-    w = _apply_plan(pallas, xu_ext, arr["ut"], y)
+    # stage 4: x_a = t1 ^ Wut x_u — the host-precomputed Wut = T^-1 U_t
+    # replaces the former U_t gather + second trisolve with one GF(2) MXU
+    # matmul (m-tiled: Lpad rows exceed one VMEM accumulator block)
+    xa = z[:Lpad] ^ _gf2mm_wide(pallas, _unpack_bits(arr["wut_bits"]), xu)
 
-    # stage 5: x_active = T^-1 w
-    xa = _trisolve(arr, w, pallas)
-
-    # stage 6: output gather
-    allrows = jnp.concatenate([xa[:Lpad], xu], axis=0)
+    # stage 5: output gather
+    allrows = jnp.concatenate([xa, xu], axis=0)
     return take_rows(pallas, allrows, arr["out_sel"])

@@ -13,13 +13,17 @@ derived from the block factorization of A^{-1}:
                               MXU) for the <=H HDPC rows
   3. x_u  = Vinv zsel         dense GF(256) matmul with the precomputed
                               inverse of the u x u Schur pivot block
-  4. w    = y ^ U_t x_u       sparse bucketed XOR-gather (original entries)
-  5. x_a  = T^-1 w            stage-1 solve again
-  6. C    = concat(x_a, x_u)[out_sel]
+  4. x_a  = t1 ^ Wut x_u      ONE dense GF(2) MXU matmul: Wut = T^-1 U_t is
+                              precomputed on the host (binary even when HDPC
+                              pivots were taken — the triangle is GF(2)), so
+                              x_a = T^-1 (y ^ U_t x_u) = t1 ^ Wut x_u needs
+                              neither a second trisolve nor the U_t gather
+  5. C    = concat(x_a, x_u)[out_sel]
 
 Stages 2-4 replace the reference's dense GE + backsolve replay entirely: the
-host already knows the elimination's *net effect* (Vinv), so the device never
-replays pivoting.  Sequential depth is 2*ceil(L/CB) + 4 instead of O(L).
+host already knows the elimination's *net effect* (Vinv, Wut), so the device
+never replays pivoting and solves the triangle exactly once.  Sequential
+depth is ceil(L/CB) + 4 instead of O(L).
 
 All shapes are canonically padded (triangle to ceil(L/CB)*CB, u and bucket
 widths to quantized sizes) so decode schedules for the same K' hit the same
@@ -264,7 +268,11 @@ class DeviceSchedule:
     hd_sel: np.ndarray | None  # int32 [u_pad] HDPC-row index per zsel row (sentinel H_pad)
     mhd: np.ndarray | None  # uint8 [H_pad, Lpad]: Ahd[:, piv_cols], zero-padded rows
     vinv: np.ndarray  # uint8 [u_pad, u_pad] inverse of the Schur pivot block
-    ut: GatherPlan  # triangle-row deps into x_u (n_rows=Lpad)
+    # Wut = T^-1 U_t bit-packed little-endian along u: uint8 [Lpad, u_pad/8].
+    # Fuses the former stage-4 U_t gather + stage-5 second trisolve into one
+    # GF(2) matmul (x_a = t1 ^ Wut x_u) — host-precomputed, so the device
+    # triangle runs once per replay instead of twice.
+    wut: np.ndarray
     out_sel: np.ndarray  # int32 [L] into concat(x_active[Lpad], x_u[u_pad])
 
     @property
@@ -348,17 +356,15 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         assert inv is not None  # solver succeeded => pivot block invertible
         Vinv[:u, :u] = inv
 
-    # --- U_t: triangle rows' original inactive-column entries ---
+    # --- Wut = T^-1 U_t (U_t: triangle rows' original inactive-column
+    # entries), solved on host over the tri dep edges, bit-packed along u ---
     if ut_edges is not None:
         ut_k, ut_uc = ut_edges
     else:
         ucf = st.ucol_of[cols_flat]
         um = ucf >= 0
         ut_k, ut_uc = kk[um], ucf[um]
-    # w_small=4: u-degree is 2-3 for ~96% of triangle rows, but a width-3
-    # pass measured *slower* than width-4 despite 25% fewer slots (the
-    # gather kernel prefers power-of-two widths)
-    ut = _gather_plan_flat(Lpad, posmap[ut_k], ut_uc, sentinel=u_pad, w_small=4)
+    wut = _wut_solve(Lpad, u_pad, i, dep_k, dep_pos, ut_k, ut_uc, posmap)
 
     # --- output gather ---
     out_sel = np.zeros(L, np.int32)
@@ -370,8 +376,72 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         piv_rows=_idx(piv_rows, M_pad - 1), tri=tri,
         sel_rows=_idx(sel_rows, M_pad - 1), bsel=bsel,
         hd_sel=None if hd_sel_vec is None else _idx(hd_sel_vec, 32), mhd=mhd,
-        vinv=Vinv, ut=ut, out_sel=_idx(out_sel, Lpad + u),
+        vinv=Vinv, wut=wut, out_sel=_idx(out_sel, Lpad + u),
     )
+
+
+def _wut_solve(Lpad, u_pad, i, dep_k, dep_pos, ut_k, ut_uc, posmap) -> np.ndarray:
+    """Wut = T^-1 U_t over GF(2): uint8 [Lpad, u_pad//8], little-bit-packed
+    along u, rows in the device (degree-sorted) basis.  Native forward
+    substitution when available; vectorized-by-level NumPy otherwise."""
+    WW = max(1, -(-u_pad // 64))
+    x = np.zeros((max(i, 1), WW), np.uint64)
+    if i and (ut_k.size or dep_k.size):
+        try:
+            from nanorq_tpu.native import get_lib
+
+            lib = get_lib()
+        except Exception:
+            lib = None
+        if lib is not None:
+            import ctypes
+
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            if not hasattr(lib, "_wut_bound"):
+                lib.nrq_wut_solve.restype = None
+                lib.nrq_wut_solve.argtypes = [
+                    ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int64, i32p, i32p, ctypes.c_int64, i32p, i32p,
+                    u64p,
+                ]
+                lib._wut_bound = True
+
+            def pc(a):
+                return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+            lib.nrq_wut_solve(
+                i, WW, dep_k.size, pc(dep_k), pc(dep_pos),
+                ut_k.size, pc(ut_k), pc(ut_uc), x.ctypes.data_as(u64p),
+            )
+        else:
+            xb = np.zeros((max(i, 1), WW * 64), np.uint8)
+            xb[np.asarray(ut_k, np.int64), np.asarray(ut_uc, np.int64)] = 1
+            order = np.argsort(dep_k, kind="stable")
+            ek = np.asarray(dep_k, np.int64)[order]
+            ep = np.asarray(dep_pos, np.int64)[order]
+            # levelized substitution: rows whose deps are all resolved XOR in
+            # one vectorized pass (depth = longest dep chain, fine on the
+            # CPU-test K sizes this fallback serves)
+            pending = np.ones(ek.size, bool)
+            resolved = np.zeros(i, bool)
+            indeg = np.bincount(ek, minlength=i)
+            resolved[indeg == 0] = True
+            while pending.any():
+                ready = pending & resolved[ep]
+                if not ready.any():  # cycle impossible in a triangle
+                    raise AssertionError("unresolvable tri deps")
+                np.bitwise_xor.at(xb, ek[ready], xb[ep[ready]])
+                pending &= ~ready
+                resolved |= np.bincount(ek[pending], minlength=i) == 0
+            x = np.ascontiguousarray(
+                np.packbits(xb, axis=-1, bitorder="little").view(np.uint64)
+            ).reshape(max(i, 1), WW)
+    xbytes = x.view(np.uint8).reshape(max(i, 1), WW * 8)
+    wut = np.zeros((Lpad, u_pad // 8), np.uint8)
+    if i:
+        wut[posmap[:i]] = xbytes[:i, : u_pad // 8]
+    return wut
 
 
 def _tri_plan(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
@@ -625,10 +695,9 @@ def replay_structured_numpy(D: np.ndarray, ds: DeviceSchedule) -> np.ndarray:
 
     xu = gf256_matmul_bytes(ds.vinv, zsel)  # stage 3
 
-    xu_ext = np.vstack([xu, np.zeros((1, t), np.uint8)])
-    w = _apply_plan_np(xu_ext, ds.ut, y)  # stage 4
+    # stage 4: x_a = t1 ^ Wut x_u (host-precomputed Wut = T^-1 U_t)
+    wut_bits = np.unpackbits(ds.wut, axis=-1, bitorder="little")
+    xa = z[: ds.Lpad] ^ gf2_matmul_bytes(wut_bits, xu)
 
-    xa = _trisolve_np(ds, w)  # stage 5
-
-    allrows = np.vstack([xa[: ds.Lpad], xu])
-    return allrows[ds.out_sel]  # stage 6
+    allrows = np.vstack([xa, xu])
+    return allrows[ds.out_sel]  # stage 5

@@ -158,9 +158,10 @@ def mid_body(i, y):
     from nanorq_tpu.ops.replay import _gf256mm, VINV_KB
 
     xu = _gf256mm(pallas, _unpack_bits(a["vinv_bits"]), zsel, min(u_pad, VINV_KB))
-    xu_ext = jnp.concatenate([xu, jnp.zeros((1, t), jnp.uint8)], axis=0)
-    w = _apply_plan(pallas, xu_ext, a["ut"], y)
-    return y.at[:Lpad].set(w)
+    from nanorq_tpu.ops.replay import _gf2mm_wide
+
+    xa = z[:Lpad] ^ _gf2mm_wide(pallas, _unpack_bits(a["wut_bits"]), xu)
+    return y.at[:Lpad].set(xa)
 
 
 timed("mid(2-4)", mid_body, y0)
@@ -185,12 +186,15 @@ def vinv_body(i, y):
 timed("mid:vinv_mm", vinv_body, y0)
 
 
-def ut_body(i, y):
-    w = _apply_plan(pallas, y, a["ut"], y[:Lpad])
-    return y.at[:Lpad].set(w)
+def wut_body(i, y):
+    from nanorq_tpu.ops.replay import _gf2mm_wide
+
+    u_pad = a["vinv_bits"].shape[0] // 8
+    xa = y[:Lpad] ^ _gf2mm_wide(pallas, _unpack_bits(a["wut_bits"]), y[:u_pad])
+    return y.at[:Lpad].set(xa)
 
 
-timed("mid:ut_apply", ut_body, y0)
+timed("mid:wut_mm", wut_body, y0)
 
 
 def bsel_body(i, y):
