@@ -99,3 +99,39 @@ def test_lt_plan_sorted_matches_flat(K):
     a = np.asarray(lt_combine(C, lt_plan(isis, P, mode="flat")))[: isis.size]
     b = np.asarray(lt_combine(C, lt_plan(isis, P, mode="sorted")))[: isis.size]
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("K,ov", [(500, 0), (1000, 0), (5000, 137), (5000, 0)])
+def test_wut_identity(K, ov):
+    """Wut = T^-1 U_t exactly: applying T's rows (unit diagonal + dep edges)
+    to Wut must reproduce the sparse U_t entries, bit for bit.  Covers the
+    native forward substitution and the posmap basis change."""
+    from nanorq_tpu.precode.solver import solve_state
+
+    rng = np.random.default_rng(7 * K + ov)
+    P = params_init(K)
+    if ov:
+        isis = np.arange(P.Kp + ov, dtype=np.uint32)
+        gaps = rng.choice(K, size=min(ov, K), replace=False)
+        isis[gaps] = np.arange(K, K + len(gaps)) + (P.Kp - K)
+        isis[P.Kp :] = np.arange(K + len(gaps), K + len(gaps) + ov) + (P.Kp - K)
+        rc = binary_rows(P, isis, overhead=ov)
+    else:
+        rc = binary_rows(P)
+    st = solve_state(P, rc, ov)
+    assert st is not None
+    ds = compile_device(st)
+    if getattr(st, "tri_edges", None) is None:
+        pytest.skip("native factorization artifacts unavailable")
+    dep_k, dep_pos = st.tri_edges
+    ut_k, ut_uc = st.ut_edges
+    i = st.i
+    # back to position basis: x[k] = wut row at device position posmap[k];
+    # reconstruct posmap from out_sel (position of pivot col c = out_sel[c])
+    pos_of = np.asarray(ds.out_sel, np.int64)
+    x = np.asarray(ds.wut)[pos_of[st.piv_cols]]
+    chk = x.copy()
+    np.bitwise_xor.at(chk, dep_k, x[dep_pos])
+    ut = np.zeros((max(i, 1), ds.u_pad // 8), np.uint8)
+    np.bitwise_or.at(ut, (ut_k, ut_uc >> 3), (np.uint8(1) << (ut_uc & 7).astype(np.uint8)))
+    assert np.array_equal(chk, ut)
