@@ -46,6 +46,21 @@ def test_gf2_matmul_parity():
         assert np.array_equal(got, gf2_matmul_bytes(B, X)), (m, k, t)
 
 
+def test_gf2_matmul_mtiled_parity():
+    """m-grid tiling (the Wut matmul shape: tall lhs, m >> VMEM acc block)."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.bitplane import gf2_matmul_bytes
+    from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
+
+    rng = np.random.default_rng(1)
+    for m, k, t, mb in [(2048, 512, 1280 * 2, 512), (4096, 1024, 1280, 256), (1024, 2048, 1280, 512)]:
+        X = rng.integers(0, 256, (k, t), dtype=np.uint8)
+        B = rng.integers(0, 2, (m, k), dtype=np.uint8)
+        got = np.asarray(gf2_matmul_pallas(jnp.asarray(B), jnp.asarray(X), mb=mb))
+        assert np.array_equal(got, gf2_matmul_bytes(B, X)), (m, k, t, mb)
+
+
 def test_gf256_matmul_parity():
     import jax.numpy as jnp
 
