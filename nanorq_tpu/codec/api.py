@@ -380,6 +380,11 @@ class Decoder(_CodecBase):
         case).  All statuses are ADDED by construction; writes collapse to
         one io.write_at per contiguous run.  Returns None when any
         precondition fails (the general per-block path handles it).
+
+        The run-coalescing here intentionally parallels
+        _write_symbols_coalesced but works on OBJECT offsets across all
+        blocks at once — a whole in-order object burst merges into a single
+        write, which per-block delegation could not do.
         """
         if self.scheme.N != 1 or sbns.size == 0:
             return None

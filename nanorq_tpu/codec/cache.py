@@ -258,8 +258,11 @@ def load_schedule(path: str) -> DeviceSchedule:
     with open(path, "rb") as f:
         ds = pickle.load(f)
     # reject checkpoints from before a schema change (e.g. pre-Wut pickles
-    # restore without the field the executor now requires)
-    assert isinstance(ds, DeviceSchedule) and getattr(ds, "wut", None) is not None
+    # restore without the field the executor now requires); a real raise,
+    # not an assert, so warm_encoder_cache's stale-file recovery still
+    # triggers under python -O
+    if not (isinstance(ds, DeviceSchedule) and getattr(ds, "wut", None) is not None):
+        raise ValueError(f"stale or foreign schedule checkpoint: {path}")
     return ds
 
 

@@ -104,7 +104,7 @@ def run(n_devices: int) -> None:
 
     # --- dense-W decode path (ops/wpath.py), the production small-K' plan:
     # same pattern recovered via the sharded combination matmul
-    from nanorq_tpu.codec.cache import WPATH_MAX_KP, WSchedule, decoder_plan
+    from nanorq_tpu.codec.cache import WSchedule, decoder_plan
     from nanorq_tpu.parallel.mesh import w_step_sharded
 
     isw = np.arange(P.Kp + P.H + 4, dtype=np.uint32)  # >= H overhead: binary solve

@@ -61,6 +61,23 @@ def test_gf2_matmul_mtiled_parity():
         assert np.array_equal(got, gf2_matmul_bytes(B, X)), (m, k, t, mb)
 
 
+def test_gf2mm_wide_nonstandard_lpad():
+    """_gf2mm_wide must handle any Lpad the CB knob can produce (CB is a
+    public tuning parameter; Lpad is only guaranteed a multiple of CB)."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.bitplane import gf2_matmul_bytes
+    from nanorq_tpu.ops.replay import _gf2mm_wide
+
+    rng = np.random.default_rng(4)
+    for m in (640, 1920, 520):  # divisors: 128, 128, 8
+        k, t = 512, 1280
+        X = rng.integers(0, 256, (k, t), dtype=np.uint8)
+        B = rng.integers(0, 2, (m, k), dtype=np.uint8)
+        got = np.asarray(_gf2mm_wide(True, jnp.asarray(B), jnp.asarray(X)))
+        assert np.array_equal(got, gf2_matmul_bytes(B, X)), m
+
+
 def test_gf256_matmul_parity():
     import jax.numpy as jnp
 

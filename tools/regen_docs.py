@@ -30,10 +30,11 @@ def readme_table(det):
     ]
     for k in sorted(det, key=int):
         r = det[k]
-        e, p, d0, doh = REF[k]
+        e, p, d0, doh = REF.get(k, (None,) * 4)  # off-grid K: no ref column
+        ref = lambda v: "-" if v is None else f"{v/1e3:.2f}"
         rows.append(
-            f"| {k} | **{r['encode']:.1f}** ({p/1e3:.2f}) | **{r['encode_fresh']:.1f}** ({e/1e3:.2f}) "
-            f"| **{r['decode']:.1f}** ({doh/1e3:.2f}) | **{r['decode0']:.1f}** ({d0/1e3:.2f}) "
+            f"| {k} | **{r['encode']:.1f}** ({ref(p)}) | **{r['encode_fresh']:.1f}** ({ref(e)}) "
+            f"| **{r['decode']:.1f}** ({ref(doh)}) | **{r['decode0']:.1f}** ({ref(d0)}) "
             f"| {r.get('vs_ref', 0):.1f}x |"
         )
     return "\n".join(rows)
