@@ -212,7 +212,7 @@ def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
                     W, _binary = w_rows(st, out_rows, n_cols=M_pad)
                     plan = WSchedule(M_pad, gaps.size, W=W)
         else:
-            plan = compile_device(st)
+            plan = compile_device(st, canonical=True)
     if plan is None:
         stats.count("decode_rank_deficient")
     with _dec_lock:
@@ -238,7 +238,7 @@ def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None 
             return _dec_cache[key]
     with stats.timer("dec_solve"):
         st = solve_state(P, _patched_rows(P, isis, overhead), overhead)
-    ds = None if st is None else compile_device(st, CB=CB)
+    ds = None if st is None else compile_device(st, CB=CB, canonical=True)
     if ds is None:
         stats.count("decode_rank_deficient")
     with _dec_lock:

@@ -94,6 +94,14 @@ def get_lib():
             lib.nrq_tinv_chunks.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
             lib.nrq_tinv_conj_chunks.restype = None
             lib.nrq_tinv_conj_chunks.argtypes = [u8p, i32p, ctypes.c_int32, ctypes.c_int32]
+            lib.nrq_heavy_closure.restype = None
+            lib.nrq_heavy_closure.argtypes = [
+                ctypes.c_int64, i32p, i32p, ctypes.c_int32, ctypes.c_int32, u8p,
+            ]
+            lib.nrq_heavy_zone_order.restype = ctypes.c_int32
+            lib.nrq_heavy_zone_order.argtypes = [
+                ctypes.c_int64, i32p, i32p, ctypes.c_int32, ctypes.c_int32, u8p, i32p,
+            ]
             i64p = ctypes.POINTER(ctypes.c_int64)
             lib.nrq_splice_rows.restype = None
             lib.nrq_splice_rows.argtypes = [
@@ -223,6 +231,30 @@ def splice_rows_native(n, base_ptr, base_cols, src, fresh_ptr, fresh_cols, out_p
         out_ptr.ctypes.data_as(i64p), out_cols.ctypes.data_as(i32p),
     )
     return True
+
+
+def heavy_zone_order_native(n: int, dep_k, dep_pos, thresh: int):
+    """(heavy bool [n], zone_rank int32 [n]) for the canonical decode
+    layout: heavy = degree > thresh forward-closed over deps; zone_rank =
+    each closed position's rank in the (level, degree-desc) topological
+    zone order, -1 for light.  None when the library is missing.  dep_k
+    must be ascending (the solver's tri_ek export order)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    dep_k = _as_i32(dep_k)
+    dep_pos = _as_i32(dep_pos)
+    heavy = np.zeros(n, np.uint8)
+    rank = np.empty(n, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.nrq_heavy_zone_order(
+        dep_k.size, dep_k.ctypes.data_as(i32p), dep_pos.ctypes.data_as(i32p),
+        n, thresh, heavy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rank.ctypes.data_as(i32p),
+    )
+    return heavy.astype(bool), rank
 
 
 def tri_plan_native(Lpad, CB, dep_k, dep_pos, cand, wgrid,

@@ -182,6 +182,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     n_active--;
     for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
       int r = col_rows[e];
+      if (row_used[r]) continue;  // nnzV of used rows is never read again
       int nz = --nnzV[r];
       if (nz == 1) bucket1.push_back(r);
       else if (nz == 2) bucket2.push_back(r);
@@ -221,6 +222,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     }
   }
 
+  pt.mark("peel");
   const int i = (int)pr.size();
   const int u = L - i;
 
@@ -236,11 +238,17 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   for (int j = 0; j < u; j++) ucol_of[uc[j]] = j;
   std::vector<int32_t> pos_of_row(NB, INT32_MAX);
   for (int k = 0; k < i; k++) pos_of_row[pr[k]] = k;
-  std::vector<int32_t> pivpos_of_col(L, -1);
-  for (int k = 0; k < i; k++) pivpos_of_col[pc[k]] = k;
 
   // ---- device-compiler edge lists over the pivot rows (one CSR scan) ----
+  // Every column is EITHER a pivot column (code = pivot pos k >= 0) or an
+  // inactive column (code = -1 - j): one merged lookup per entry.  A pivot
+  // row can never contain a LATER pivot's column (it had degree <= 2 in
+  // active columns when chosen, and those two became its own pivot /
+  // an inactivation), so code < k distinguishes triangle deps exactly.
   {
+    std::vector<int32_t> colcode(L);
+    for (int j = 0; j < u; j++) colcode[uc[j]] = -1 - j;
+    for (int k = 0; k < i; k++) colcode[pc[k]] = k;
     out->tri_ek.reserve(nnz / 2);
     out->tri_ep.reserve(nnz / 2);
     out->ut_ek.reserve(nnz / 4);
@@ -248,22 +256,21 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     for (int k = 0; k < i; k++) {
       int r = pr[k];
       for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
-        int c = row_cols[e];
-        int p = pivpos_of_col[c];
-        if (p >= 0 && p < k) {
-          out->tri_ek.push_back(k);
-          out->tri_ep.push_back(p);
-        }
-        int j = ucol_of[c];
-        if (j >= 0) {
+        int v = colcode[row_cols[e]];
+        if (v >= 0) {
+          if (v < k) {
+            out->tri_ek.push_back(k);
+            out->tri_ep.push_back(v);
+          }
+        } else {
           out->ut_ek.push_back(k);
-          out->ut_uc.push_back(j);
+          out->ut_uc.push_back(-1 - v);
         }
       }
     }
   }
 
-  pt.mark("peel");
+  pt.mark("edges");
   // ---- U: dense inactive block [M, u], bit-packed (64 cols per word).
   // The GF(2) phases (S1a/S1b/binary dense solve) run on words — 8x the
   // byte path; bytes are materialized only if the GF(256)/HDPC tail is
@@ -282,29 +289,23 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   };
 
   pt.mark("ubuild");
-  // ---- S1a: triangle forward substitution applied to U ----
+  // ---- S1: triangle forward substitution applied to U, and elimination of
+  // triangle cols from non-pivot binary rows, in ONE adjacency pass.  Pivot
+  // row k's U-row is final by step k (it only receives updates at steps
+  // k' < k), so using it as the source for both later pivot rows (p > k)
+  // and non-pivot rows (p == INT32_MAX) inside the same scan is exact.
   for (int k = 0; k < i; k++) {
     int c = pc[k];
     const uint64_t* srcrow = Ubr(pr[k]);
     for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
       int r = col_rows[e];
-      int p = pos_of_row[r];
-      if (p > k && p < INT32_MAX) wrow_xor(Ubr(r), srcrow);
-    }
-  }
-  pt.mark("s1a");
-  // ---- S1b: eliminate triangle cols from non-pivot binary rows ----
-  for (int k = 0; k < i; k++) {
-    int c = pc[k];
-    const uint64_t* srcrow = Ubr(pr[k]);
-    for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
-      int r = col_rows[e];
-      if (pos_of_row[r] == INT32_MAX) wrow_xor(Ubr(r), srcrow);
+      if (pos_of_row[r] > k) wrow_xor(Ubr(r), srcrow);
     }
   }
 
-  pt.mark("s1b");
-  std::vector<uint64_t> Ub_pre(Ub);  // Schur snapshot (binary rows)
+  pt.mark("s1");
+  // Ub is no longer modified below (the GF(2) dense phase runs on a compact
+  // copy), so it doubles as the pre-dense Schur snapshot.
 
   // ---- dense solve: order, GF(2) first when enough binary rows ----
   std::vector<int32_t>& order = out->order;
@@ -318,18 +319,37 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   }
 
   int rank = i;
-  if (M - H >= L) {
+  const int nwin = M - H - i;  // dense-window candidate rows (non-pivot binary)
+  std::vector<uint64_t> Cw;    // compact GE workspace; row s <-> order[i+s]
+  if (M - H >= L && nwin > 0) {
+    // GE runs on a CONTIGUOUS copy of the window rows: the candidate rows
+    // are scattered through Ub by order[], and the per-pivot scan+xor over
+    // them is the phase's whole cost — compaction turns ~u*nwin scattered
+    // cache misses into streaming reads (and leaves Ub pristine for the
+    // Schur snapshot).  Words below the pivot column are already reduced
+    // on both sides, so the xor starts at word jc/64.
+    Cw.resize((size_t)nwin * uw);
+    for (int s = 0; s < nwin; s++)
+      memcpy(Cw.data() + (size_t)s * uw, Ubr(order[i + s]), (size_t)uw * 8);
+    auto Cr = [&](int s) { return Cw.data() + (size_t)s * uw; };
     for (int p = i; p < L; p++) {
-      int jc = p - i;
+      const int jc = p - i;
+      const int w0 = jc >> 6;
       int q = -1;
-      for (int s = p; s < M - H; s++)
-        if (bit(Ubr(order[s]), jc)) { q = s; break; }
+      for (int s = jc; s < nwin; s++)
+        if (bit(Cr(s), jc)) { q = s; break; }
       if (q < 0) break;
-      std::swap(order[p], order[q]);
-      const uint64_t* piv = Ubr(order[p]);
-      for (int s = p + 1; s < M - H; s++) {
-        uint64_t* rrow = Ubr(order[s]);
-        if (bit(rrow, jc)) wrow_xor(rrow, piv);
+      if (q != jc) {
+        std::swap(order[p], order[i + q]);
+        uint64_t* a = Cr(jc);
+        uint64_t* b = Cr(q);
+        for (int w = w0; w < uw; w++) std::swap(a[w], b[w]);
+      }
+      const uint64_t* piv = Cr(jc);
+      for (int s = jc + 1; s < nwin; s++) {
+        uint64_t* rrow = Cr(s);
+        if (bit(rrow, jc))
+          for (int w = w0; w < uw; w++) rrow[w] ^= piv[w];
       }
       rank = p + 1;
     }
@@ -342,20 +362,26 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
   // elimination streams the (sparse, 2-3 bit) triangle rows from Ub.
   std::vector<uint8_t> U, U_pre;
   auto Urow = [&](int r) { return U.data() + (size_t)r * u; };
-  auto unpack_window = [&](std::vector<uint8_t>& dst, const std::vector<uint64_t>& src) {
-    dst.assign((size_t)M * u, 0);
-    for (int p = i; p < M; p++) {
-      int r = order[p];
-      const uint64_t* srow = src.data() + (size_t)r * uw;
-      uint8_t* drow = dst.data() + (size_t)r * u;
-      for (int j = 0; j < u; j++) drow[j] = (uint8_t)((srow[j >> 6] >> (j & 63)) & 1);
-    }
-  };
 
   if (rank < L) {
     out->hdpc_used = 1;
-    unpack_window(U, Ub);
-    unpack_window(U_pre, Ub_pre);
+    // U: post-GF(2) state — compact workspace for window rows, pristine Ub
+    // for rows the GF(2) phase never touched.  U_pre: pristine Ub everywhere
+    // (the pre-dense Schur snapshot).
+    U.assign((size_t)M * u, 0);
+    U_pre.assign((size_t)M * u, 0);
+    for (int p = i; p < M; p++) {
+      int r = order[p];
+      const uint64_t* pre = Ub.data() + (size_t)r * uw;
+      const uint64_t* post =
+          (p < M - H && !Cw.empty()) ? Cw.data() + (size_t)(p - i) * uw : pre;
+      uint8_t* drow = U.data() + (size_t)r * u;
+      uint8_t* prow = U_pre.data() + (size_t)r * u;
+      for (int j = 0; j < u; j++) {
+        drow[j] = (uint8_t)((post[j >> 6] >> (j & 63)) & 1);
+        prow[j] = (uint8_t)((pre[j >> 6] >> (j & 63)) & 1);
+      }
+    }
     // fill HDPC inactive block and eliminate vs triangle pivots:
     //   hrow_h ^= sum_k beta[h,k] (x) (T^-1 U_orig)[k]
     //          == sum_k gamma[h,k] * U_orig[k],  gamma^T = beta^T T^-1.
@@ -424,7 +450,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
              U_pre.data() + (size_t)order[i + s] * u, u);
   } else {
     for (int s = 0; s < u; s++) {
-      const uint64_t* srow = Ub_pre.data() + (size_t)order[i + s] * uw;
+      const uint64_t* srow = Ub.data() + (size_t)order[i + s] * uw;
       uint8_t* drow = out->uschur_sel.data() + (size_t)s * u;
       for (int j = 0; j < u; j++) drow[j] = (uint8_t)((srow[j >> 6] >> (j & 63)) & 1);
     }
@@ -537,6 +563,79 @@ void nrq_tinv_conj_chunks(uint8_t* T, const int32_t* order, int32_t n, int32_t C
 // consumed in output-row order).  out_ptr is precomputed by the caller; this
 // is the pure memcpy pass (the NumPy repeat/scatter formulation of the same
 // splice cost ~15 ms at K'=50511).
+// Heavy-row classification for the canonical decode layout: a triangle
+// position is heavy if its cross-chunk dep degree exceeds `thresh`, or
+// (forward closure) if any of its deps is heavy — so moving every heavy
+// position to the end of the pivot order keeps all dependencies backward.
+// Edges must be ascending in ek (the tri_ek export order), so one forward
+// pass reaches the fixpoint.
+void nrq_heavy_closure(int64_t ne, const int32_t* ek, const int32_t* ep,
+                       int32_t n, int32_t thresh, uint8_t* heavy) {
+  std::vector<int32_t> deg(n, 0);
+  for (int64_t e = 0; e < ne; e++) deg[ek[e]]++;
+  for (int32_t k = 0; k < n; k++) heavy[k] = deg[k] > thresh;
+  for (int64_t e = 0; e < ne; e++)
+    if (heavy[ep[e]]) heavy[ek[e]] = 1;
+}
+
+// Zone rank for the closed (heavy + closure) positions: a greedy
+// max-degree-first topological order of the closed subgraph (Kahn with a
+// max-heap keyed by (degree, original position)).  This approximates a
+// global degree-descending sort subject to dependencies, so the zone's
+// positional degree profile — wide widths first, then a fast decay —
+// concentrates across loss patterns instead of sawtoothing per dependency
+// level.  zone_rank[k] = rank within the zone for closed k, -1 for light.
+// Returns the closed count.
+int32_t nrq_heavy_zone_order(int64_t ne, const int32_t* ek, const int32_t* ep,
+                             int32_t n, int32_t thresh, uint8_t* heavy,
+                             int32_t* zone_rank) {
+  nrq_heavy_closure(ne, ek, ep, n, thresh, heavy);
+  std::vector<int32_t> deg(n, 0);
+  for (int64_t e = 0; e < ne; e++) deg[ek[e]]++;
+  // closed-subgraph adjacency (dependents) + in-degrees
+  std::vector<int32_t> indeg(n, 0);
+  std::vector<int64_t> head(n, -1);  // per-dep linked list of closed edges
+  std::vector<int64_t> nxt;
+  std::vector<int32_t> dst;
+  nxt.reserve(1024);
+  dst.reserve(1024);
+  for (int64_t e = 0; e < ne; e++) {
+    if (heavy[ek[e]] && heavy[ep[e]]) {
+      indeg[ek[e]]++;
+      nxt.push_back(head[ep[e]]);
+      dst.push_back(ek[e]);
+      head[ep[e]] = (int64_t)dst.size() - 1;
+    }
+  }
+  std::vector<int64_t> heap;  // (deg << 32) | (maxpos - k): max-degree first
+  heap.reserve(1024);
+  int32_t nclosed = 0;
+  for (int32_t k = 0; k < n; k++) {
+    zone_rank[k] = -1;
+    if (heavy[k]) {
+      nclosed++;
+      if (indeg[k] == 0)
+        heap.push_back(((int64_t)deg[k] << 32) | (uint32_t)(n - k));
+    }
+  }
+  std::make_heap(heap.begin(), heap.end());
+  int32_t r = 0;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end());
+    int32_t k = n - (int32_t)(heap.back() & 0xFFFFFFFF);
+    heap.pop_back();
+    zone_rank[k] = r++;
+    for (int64_t e = head[k]; e >= 0; e = nxt[e]) {
+      int32_t d = dst[e];
+      if (--indeg[d] == 0) {
+        heap.push_back(((int64_t)deg[d] << 32) | (uint32_t)(n - d));
+        std::push_heap(heap.begin(), heap.end());
+      }
+    }
+  }
+  return nclosed;  // == r: the closed subgraph is acyclic by construction
+}
+
 void nrq_splice_rows(int32_t n, const int64_t* base_ptr, const int32_t* base_cols,
                      const int64_t* src,
                      const int64_t* fresh_ptr, const int32_t* fresh_cols,

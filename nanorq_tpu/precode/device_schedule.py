@@ -183,9 +183,17 @@ def _gather_plan(n_rows, slots, deps, sentinel, w_small: int = 8) -> GatherPlan:
     return _gather_plan_flat(n_rows, erows, np.asarray(edeps, np.int64), sentinel, w_small)
 
 
-def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> GatherPlan:
-    """Vectorized GatherPlan construction from flat (row, dep) edge arrays."""
-    if erows.size == 0:
+def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8, classes=None):
+    """Vectorized GatherPlan construction from flat (row, dep) edge arrays.
+
+    `classes`: optional frozen overflow layout [(w, nb), ...] (see
+    compile_device's canonical-layout cache).  When given, the plan emits
+    EXACTLY one w_small pass plus one overflow entry per class — shapes are
+    layout-determined, never data-determined — and returns None when the
+    pattern does not fit (a row degree above every class width, or more
+    rows in a band than its nb), signalling the caller to grow the layout.
+    """
+    if erows.size == 0 and classes is None:
         return GatherPlan(n_rows=n_rows, passes=[], overflow=[])
     order = np.argsort(erows, kind="stable")
     erows = erows[order]
@@ -194,20 +202,40 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> Gathe
     starts = np.zeros(n_rows + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     colpos = np.arange(erows.size, dtype=np.int64) - starts[erows]
-    cmax = int(counts.max())
+    cmax = int(counts.max(initial=0))
 
     passes: list[np.ndarray] = []
     overflow = []
+    p = np.full((n_rows, w_small), sentinel, np.int32)
     sel = counts[erows] <= w_small
-    if sel.any():
-        p = np.full((n_rows, w_small), sentinel, np.int32)
-        p[erows[sel], colpos[sel]] = edeps[sel]
+    p[erows[sel], colpos[sel]] = edeps[sel]
+    if sel.any() or classes is not None:
         passes.append(_idx(p, sentinel))
+
+    if classes is not None:
+        if cmax > max((w for w, _ in classes), default=w_small):
+            return None
+        lo = w_small
+        for w, nb in classes:
+            pick = np.nonzero((counts > lo) & (counts <= w))[0]
+            if pick.size > nb:
+                return None
+            rmap = np.full(n_rows, -1, np.int64)
+            rmap[pick] = np.arange(pick.size)
+            m = rmap[erows] >= 0
+            ix = np.full((nb, w), sentinel, np.int32)
+            ix[rmap[erows[m]], colpos[m]] = edeps[m]
+            selv = np.full(n_rows, nb, np.int32)
+            selv[pick] = np.arange(pick.size)
+            overflow.append((_idx(ix, sentinel), _idx(selv, nb)))
+            lo = w
+        return GatherPlan(n_rows=n_rows, passes=passes, overflow=overflow)
+
     lo = w_small
-    for w in [x for x in _WIDTHS if x > w_small] + [cmax]:
-        w = min(w, cmax)
-        if w <= lo:
+    for w in [x for x in _WIDTHS if x > w_small]:
+        if lo >= cmax:
             break
+        w = _quant(cmax) if w >= cmax else w  # last class: grid-quantized width
         pick = np.nonzero((counts > lo) & (counts <= w))[0]
         if pick.size:
             nb = _pad_rows(pick.size)
@@ -216,12 +244,10 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8) -> Gathe
             m = rmap[erows] >= 0
             ix = np.full((nb, w), sentinel, np.int32)
             ix[rmap[erows[m]], colpos[m]] = edeps[m]
-            sel = np.full(n_rows, nb, np.int32)  # sentinel: zero row of red_ext
-            sel[pick] = np.arange(pick.size)
-            overflow.append((_idx(ix, sentinel), _idx(sel, nb)))
+            selv = np.full(n_rows, nb, np.int32)  # sentinel: zero row of red_ext
+            selv[pick] = np.arange(pick.size)
+            overflow.append((_idx(ix, sentinel), _idx(selv, nb)))
         lo = w
-        if w >= cmax:
-            break
     return GatherPlan(n_rows=n_rows, passes=passes, overflow=overflow)
 
 
@@ -280,7 +306,14 @@ class DeviceSchedule:
         return self.Lpad // self.CB
 
 
-def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
+def compile_device(st: SolveState, CB: int | None = None, canonical: bool = False) -> DeviceSchedule:
+    """Compile a SolveState into the device replay program.
+
+    canonical=True (the decode path) compiles against the per-K' frozen
+    layout so every loss pattern of one K' shares ONE jitted XLA program;
+    the encoder (canonical=False) keeps its own DP-optimal layout — it is
+    compiled once per K' and replayed forever.
+    """
     P = st.P
     L, i, u, M = P.L, st.i, st.u, st.M
     if CB is None:
@@ -289,8 +322,6 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
     u_pad = max(32, _quant(max(u, 1)))  # >= 32: int8 sublane-tile floor
     M_pad = _pad_rows(M + 1)
     zero_row = M_pad - 1  # executor guarantees D[M_pad-1] == 0
-
-    piv_rows = np.full(Lpad, zero_row, np.int32)  # filled after the degree sort
 
     # --- triangle: per-position deps at pivot columns with smaller position.
     # Built from flat edge arrays (the per-pivot Python loop was the
@@ -313,12 +344,51 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         dm = (pos >= 0) & (pos < kk)
         dep_k, dep_pos = kk[dm], pos[dm]
 
-    posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)
+    if canonical:
+        key = (P.Kp, CB, u_pad, M_pad, bool(st.hdpc_used))
+        # Heavy-position reorder: positions whose cross-position dep degree
+        # exceeds the light/heavy gap (LT-derived rows stay ~<=30; late-peel
+        # rows jump to ~180), forward-closed over dependents, move to a
+        # FIXED zone at the end of an extended triangle.  Light-zone degree
+        # profiles are then low-variance across loss patterns and the heavy
+        # zone is positionally pinned — which is what lets one frozen layout
+        # (= one compiled XLA program) fit every pattern of a K'.
+        closed, zrank = _heavy_zone_order(i, dep_k, dep_pos)
+        nheavy = int(closed.sum())
+        with _layout_lock:
+            stt = _layout_cache.get(key)
+            if stt is not None and nheavy > stt.hpad:
+                stt = None  # zone overflowed: rebuild with a bigger one
+            if stt is None:
+                # zone capacity ~1.5x the first-seen closed population
+                hp = _quant(nheavy + max(256, nheavy // 2)) if nheavy else 0
+                stt = _layout_cache[key] = _LayoutState((Lpad + hp) // CB, CB, hp)
+        Lpad += stt.hpad  # extended triangle; [nlight, Lpad-hpad) is padding
+        if nheavy:
+            perm = np.empty(i, np.int64)
+            light_idx = np.nonzero(~closed)[0]
+            perm[light_idx] = np.arange(light_idx.size)
+            ci = np.nonzero(closed)[0]
+            perm[ci] = (Lpad - stt.hpad) + zrank[ci].astype(np.int64)
+            dep_k2, dep_pos2 = perm[dep_k], perm[dep_pos]
+        else:
+            perm = np.arange(max(i, 1), dtype=np.int64)[:i]
+            dep_k2, dep_pos2 = dep_k, dep_pos
+        (posmap, tinv_bits, echunk_s, elocal_s, edep_s, colpos, degs, nnz_row) = (
+            _tri_sorted_edges(Lpad, CB, dep_k2, dep_pos2)
+        )
+        posfull = posmap[perm] if i else np.zeros(0, np.int64)
+        tri = None  # resolved below, once the bsel edge profile is known too
+    else:
+        posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)
+        posfull = posmap[:i]
 
     # everything downstream that references triangle positions moves to the
-    # sorted basis: y rows, stage-2 deps, HDPC columns, U_t rows, output
+    # sorted (and, canonically, heavy-reordered) basis: y rows, stage-2
+    # deps, HDPC columns, U_t rows, output
+    piv_rows = np.full(Lpad, zero_row, np.int32)
     if i:
-        piv_rows[posmap[:i]] = st.piv_rows
+        piv_rows[posfull] = st.piv_rows
 
     # --- zsel: dense pivot rows ---
     order_sel = st.order[i : i + u]
@@ -332,8 +402,55 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
             cols = st.rows_cols[r]
             pos = st.pivpos_of_col[cols]
             b_slots.append(s)
-            b_deps.append(np.sort(posmap[pos[pos >= 0]]).astype(np.int64))
-    bsel = _gather_plan(u_pad, b_slots, b_deps, sentinel=Lpad)
+            b_deps.append(np.sort(posfull[pos[pos >= 0]]).astype(np.int64))
+    b_lens = np.fromiter((len(d) for d in b_deps), np.int64, len(b_deps))
+    b_erows = np.repeat(np.asarray(b_slots, np.int64), b_lens)
+    b_edeps = (np.concatenate(b_deps) if b_deps else np.zeros(0, np.int64)).astype(np.int64)
+
+    if not canonical:
+        bsel = _gather_plan_flat(u_pad, b_erows, b_edeps, sentinel=Lpad)
+    else:
+        from nanorq_tpu.utils import stats
+
+        b_counts = np.zeros(u_pad, np.int64)
+        if b_lens.size:
+            b_counts[np.asarray(b_slots, np.int64)] = b_lens
+
+        def fill_into(lay):
+            t = _tri_fill_frozen(lay, Lpad, CB, echunk_s, elocal_s, edep_s,
+                                 colpos, degs, nnz_row, tinv_bits)
+            if t is None:
+                return None, None
+            b = _gather_plan_flat(u_pad, b_erows, b_edeps, sentinel=Lpad,
+                                  classes=lay.bsel_classes)
+            return (None, None) if b is None else (t, b)
+
+        # `stt` was resolved (or created, with its hpad) in the triangle
+        # branch above; keep using that object even if a concurrent pattern
+        # replaced the cache entry — its shapes match this computation.
+        with _layout_lock:
+            stt.accumulate(degs, nnz_row, b_counts)  # every pattern feeds the envelope
+            if stt.layout is not None:
+                tri, bsel = fill_into(stt.layout)
+                if tri is not None:
+                    stats.count("replay_layout_hit")
+                else:  # profile outgrew the frozen shapes: re-freeze on the
+                    # accumulated union (monotone; converges in a few events)
+                    stt.freeze(Lpad, CB)
+                    tri, bsel = fill_into(stt.layout)
+                    assert tri is not None  # envelope includes this pattern
+                    stats.count("replay_layout_grown")
+            elif stt.seen >= _FREEZE_AFTER:
+                stt.freeze(Lpad, CB)  # DP over the accumulated max profile
+                tri, bsel = fill_into(stt.layout)
+                assert tri is not None  # envelope includes this pattern
+                stats.count("replay_layout_frozen")
+            else:
+                # warm-up: per-pattern DP plan (native), own program
+                posmap_dp, tri = _tri_plan(Lpad, CB, dep_k2, dep_pos2)
+                assert np.array_equal(posmap_dp, posmap)  # same stable sort
+                bsel = _gather_plan_flat(u_pad, b_erows, b_edeps, sentinel=Lpad)
+                stats.count("replay_layout_warmup")
     mhd = None
     hd_sel_vec = None
     if st.hdpc_used:
@@ -341,7 +458,7 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         H_pad = 32  # Table 2 H is 10..16; pad to the int8 sublane-tile floor
         mhd = np.zeros((H_pad, Lpad), np.uint8)
         if i:
-            mhd[: P.H, posmap[:i]] = Ahd[:, st.piv_cols]
+            mhd[: P.H, posfull] = Ahd[:, st.piv_cols]
         hd_sel_vec = np.full(u_pad, H_pad, np.int32)
         for s in hd_sel:
             hd_sel_vec[s] = int(order_sel[s]) - st.NB
@@ -364,11 +481,11 @@ def compile_device(st: SolveState, CB: int | None = None) -> DeviceSchedule:
         ucf = st.ucol_of[cols_flat]
         um = ucf >= 0
         ut_k, ut_uc = kk[um], ucf[um]
-    wut = _wut_solve(Lpad, u_pad, i, dep_k, dep_pos, ut_k, ut_uc, posmap)
+    wut = _wut_solve(Lpad, u_pad, i, dep_k, dep_pos, ut_k, ut_uc, posfull)
 
     # --- output gather ---
     out_sel = np.zeros(L, np.int32)
-    out_sel[st.piv_cols] = posmap[: i].astype(np.int32)
+    out_sel[st.piv_cols] = posfull.astype(np.int32)
     out_sel[st.u_cols] = Lpad + np.arange(u)
 
     return DeviceSchedule(
@@ -469,9 +586,13 @@ def _tri_plan(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
     return posmap, tri
 
 
-def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
-    """NumPy fallback planner (same cost model as nrq_tri_plan; plans may
-    differ in tie-breaks — any plan over the same dep edges is correct)."""
+def _tri_sorted_edges(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
+    """Shared planner preamble: degree-sort positions within chunks, build
+    the conjugated chunk inverses and the sorted cross-chunk edge arrays.
+
+    Returns (posmap, tinv_bits [nchunks, CB, CB], echunk_s, elocal_s,
+    edep_s, colpos, degs [nchunks, CB] non-increasing per row, nnz_row).
+    """
     nchunks = Lpad // CB
     qq = dep_k // CB
     inck = dep_pos >= qq * CB  # dep within the same chunk -> folded into Tinv
@@ -507,7 +628,20 @@ def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
     colpos = np.arange(key.size, dtype=np.int64) - starts[key]
     echunk_s = key // CB
     elocal_s = key % CB
-    degs = counts.reshape(nchunks, CB)  # non-increasing along rows
+    degs = counts.reshape(nchunks, CB)
+    nnz_row = np.count_nonzero(degs, axis=1)
+    return posmap, tinv_bits, echunk_s, elocal_s, edep_s, colpos, degs, nnz_row
+
+
+def _plan_bounds_from_degs(Lpad: int, CB: int, degs: np.ndarray):
+    """The planner's DP over a degree profile alone: [(q0, q1, bounds)].
+
+    The cost model needs only the per-position (sorted, non-increasing)
+    cross-chunk degree matrix [nchunks, CB] — not the edges — so the same
+    DP plans a single pattern (``_tri_plan_py``) or an accumulated MAX
+    profile over several patterns (the frozen canonical decode layout).
+    """
+    nchunks = Lpad // CB
 
     # Cost-optimal plan (outer DP over chunk segments, inner DP over prefix
     # boundaries): modeled cost = gathered slots (range length x quantized
@@ -619,11 +753,17 @@ def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
         merged.append((a, b, inner_ranges(a, b)[1]))
         b = a
     merged.reverse()
+    return merged
 
-    def build_segment(q0: int, q1: int, bounds) -> TriSegment | None:
+
+def _fill_segments(merged, Lpad, CB, echunk_s, elocal_s, edep_s, colpos, tinv_bits):
+    """Build TriSegments by scattering the sorted edges into the planned
+    (q0, q1, bounds) layout (every edge is covered by construction)."""
+    tri = []
+    for q0, q1, bounds in merged:
         nq = q1 - q0
         if nq <= 0:
-            return None
+            continue
         in_seg = (echunk_s >= q0) & (echunk_s < q1)
         ec = echunk_s[in_seg] - q0
         el = elocal_s[in_seg]
@@ -636,15 +776,224 @@ def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
             ix[ec[m], el[m] - a, cp[m]] = ed[m]
             ranges.append((a, b2, _idx(ix, Lpad)))
         packed = np.packbits(tinv_bits[q0:q1], axis=-1, bitorder="little")
-        return TriSegment(q0=q0, tinv=packed, ranges=ranges)
+        tri.append(TriSegment(q0=q0, tinv=packed, ranges=ranges))
+    return tri
 
-    tri = [s for s in (build_segment(q0, q1, bounds) for q0, q1, bounds in merged) if s is not None]
+
+def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
+    """NumPy fallback planner (same cost model as nrq_tri_plan; plans may
+    differ in tie-breaks — any plan over the same dep edges is correct)."""
+    (posmap, tinv_bits, echunk_s, elocal_s, edep_s, colpos, degs, _nnz) = (
+        _tri_sorted_edges(Lpad, CB, dep_k, dep_pos)
+    )
+    merged = _plan_bounds_from_degs(Lpad, CB, degs)
+    tri = _fill_segments(merged, Lpad, CB, echunk_s, elocal_s, edep_s, colpos, tinv_bits)
     return posmap, tri
 
 
 # ---------------------------------------------------------------------------
-# NumPy executor: exact mirror of the device program, used as test oracle.
+# Canonical (frozen) decode layouts: one compiled XLA program per K'.
+#
+# The DP planner optimizes each pattern's layout individually, but its
+# segment boundaries / range widths are data-dependent, so every loss
+# pattern used to compile a FRESH replay program (tens of seconds on TPU).
+# Instead, per (K', CB, u_pad, M_pad, hdpc) key, the first _FREEZE_AFTER
+# structured decode patterns plan as before while their degree profiles
+# accumulate (elementwise max); the layout is then frozen by running the
+# planner DP on the ACCUMULATED profile, and every later pattern is
+# *filled into* the frozen shapes — one jitted program from then on.  A
+# pattern that does not fit (a staircase poking above the union envelope —
+# rare after three-pattern accumulation and pow2 width quantization) grows
+# the layout monotonically and re-freezes: one recompile per growth event,
+# converging quickly.  Replay cost vs the per-pattern optimum is the slot
+# padding of a near-identical staircase: a few percent.
 # ---------------------------------------------------------------------------
+
+from threading import Lock as _Lock
+
+_FREEZE_AFTER = int(os.environ.get("NANORQ_LAYOUT_FREEZE_AFTER", 3))
+_BSEL_BANDS = tuple(w for w in _WIDTHS if w > 8)
+# light/heavy degree gap: LT-derived triangle rows stay <= ~30 deps; the
+# late-peel accumulation rows jump to ~180.  48 sits in the gap at every
+# observed K', so the classification itself is pattern-stable.
+_HEAVY_THRESH = int(os.environ.get("NANORQ_HEAVY_THRESH", 48))
+
+
+def _heavy_zone_order(n: int, dep_k: np.ndarray, dep_pos: np.ndarray):
+    """(heavy bool [n], zone_rank int32 [n]): positions with dep degree >
+    _HEAVY_THRESH, forward-closed (a position depending on a heavy position
+    is heavy too, so the heavy set can move behind every light position with
+    all deps still backward), plus each closed position's rank in the
+    (dependency level, degree descending) topological zone order — which
+    starts the zone with the degree-sorted true-heavy block so the zone's
+    positional degree profile concentrates across loss patterns."""
+    if n == 0 or dep_k.size == 0:
+        return np.zeros(n, bool), np.full(n, -1, np.int32)
+    try:
+        from nanorq_tpu.native import heavy_zone_order_native
+
+        out = heavy_zone_order_native(n, dep_k, dep_pos, _HEAVY_THRESH)
+        if out is not None:
+            return out
+    except (ImportError, OSError):
+        pass
+    deg = np.bincount(dep_k, minlength=n)
+    heavy = deg > _HEAVY_THRESH
+    while True:  # levelized propagation (CPU-fallback sizes only)
+        new = heavy[dep_pos] & ~heavy[dep_k]
+        if not new.any():
+            break
+        heavy[dep_k[new]] = True
+    # greedy max-degree-first topological order of the closed subgraph
+    # (mirrors nrq_heavy_zone_order; fallback sizes are small)
+    import heapq
+
+    hh = np.nonzero(heavy[dep_k] & heavy[dep_pos])[0]
+    adj: dict[int, list[int]] = {}
+    indeg = np.zeros(n, np.int64)
+    for e in hh:
+        adj.setdefault(int(dep_pos[e]), []).append(int(dep_k[e]))
+        indeg[dep_k[e]] += 1
+    rank = np.full(n, -1, np.int32)
+    heap = [(-int(deg[k]), int(k)) for k in np.nonzero(heavy)[0] if indeg[k] == 0]
+    heapq.heapify(heap)
+    r = 0
+    while heap:
+        _, k = heapq.heappop(heap)
+        rank[k] = r
+        r += 1
+        for d in adj.get(k, ()):
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                heapq.heappush(heap, (-int(deg[d]), d))
+    return heavy, rank
+
+
+class _FrozenLayout:
+    __slots__ = ("tri", "bsel_classes", "version")
+
+    def __init__(self, tri, bsel_classes, version=0):
+        self.tri = tri  # [(q0, q1, [(a, b, w), ...]), ...] contiguous ranges from 0
+        self.bsel_classes = bsel_classes  # [(w, nb), ...] ascending w
+        self.version = version
+
+
+class _LayoutState:
+    """Per-key accumulator: warm-up profile maxima, then the frozen layout."""
+
+    __slots__ = ("seen", "degs_max", "nnz_max", "band_max", "layout", "hpad")
+
+    def __init__(self, nchunks, CB, hpad=0):
+        self.seen = 0
+        self.degs_max = np.zeros((nchunks, CB), np.int64)
+        self.nnz_max = np.zeros(nchunks, np.int64)
+        self.band_max = np.zeros(len(_BSEL_BANDS), np.int64)
+        self.layout: _FrozenLayout | None = None
+        self.hpad = hpad  # heavy-zone positions at the end of the triangle
+
+    def accumulate(self, degs, nnz_row, b_counts):
+        np.maximum(self.degs_max, degs, out=self.degs_max)
+        np.maximum(self.nnz_max, nnz_row, out=self.nnz_max)
+        over = b_counts[b_counts > 8]
+        if over.size:
+            hist = np.bincount(
+                np.searchsorted(np.asarray(_BSEL_BANDS), over), minlength=len(_BSEL_BANDS)
+            )[: len(_BSEL_BANDS)]
+            np.maximum(self.band_max, hist, out=self.band_max)
+        self.seen += 1
+
+    def freeze(self, Lpad, CB):
+        """(Re)build the frozen layout from the accumulated max profile.
+
+        The union envelope over a few patterns is nearly free (measured
+        ~1.0x a single pattern's DP-optimal slots at K=50000: staircase
+        profiles concentrate), so the layout is TIGHT to the union —
+        re-freezing on a misfit (the profile, fed by every pattern seen,
+        has grown past the frozen shapes) is the growth mechanism, and it
+        converges after a handful of patterns.  Only the coverage end gets
+        a couple of positions of slack: running one more narrow-width row
+        pair per chunk is much cheaper than a re-freeze."""
+        merged = _plan_bounds_from_degs(Lpad, CB, self.degs_max)
+        # slack, in rising cost order: +4 positional dilation at internal
+        # boundaries (knee drift), +8 coverage, and a width-2 SPILL range
+        # overlapping the whole covered prefix (degree creep of +1/+2 right
+        # at a pow2 width boundary).  Ranges apply additively on device
+        # (acc[a:b] ^= gather), so overlap is free; the fill splits a row's
+        # deps across its covering ranges by cumulative width.
+        slacked = []
+        for q0, q1, bounds in merged:
+            nb, prev = [], 0
+            for i2, (a, b, w) in enumerate(bounds):
+                last = i2 == len(bounds) - 1
+                b2 = min(CB, max(b + (8 if last else 4), prev))
+                if b2 > prev:
+                    nb.append((prev, b2, w))
+                    prev = b2
+            if nb:
+                # spill over the narrow-width suffix only: +-1/2 degree creep
+                # is a relative perturbation, irrelevant where w >= 16
+                a_spill = next((a for a, _, w in nb if w <= 8), nb[-1][0])
+                nb.append((a_spill, nb[-1][1], 2))
+            slacked.append((q0, q1, nb))
+        classes = [
+            (int(w), _pad_rows(int(n) + max(2, int(n) >> 2)))
+            for w, n in zip(_BSEL_BANDS, self.band_max)
+            if n > 0
+        ]
+        version = 0 if self.layout is None else self.layout.version + 1
+        self.layout = _FrozenLayout(slacked, classes, version)
+
+
+_layout_lock = _Lock()
+_layout_cache: dict[tuple, _LayoutState] = {}
+
+
+def clear_layout_cache() -> None:
+    with _layout_lock:
+        _layout_cache.clear()
+
+
+def _tri_fill_frozen(layout, Lpad, CB, echunk_s, elocal_s, edep_s, colpos,
+                     degs, nnz_row, tinv_bits):
+    """Fill a pattern's sorted triangle edges into a frozen layout.
+
+    Ranges may OVERLAP (the spill range): a row's deps are split across its
+    covering ranges by cumulative width — the device applies every range
+    additively, so where a dep lands is irrelevant.  Returns [TriSegment]
+    or None when the pattern does not fit (a sorted row degree above the
+    TOTAL width covering its position, or a nonzero row beyond the covered
+    prefix).
+    """
+    segs = []
+    for q0, q1, bounds in layout.tri:
+        nq = q1 - q0
+        cover = max((b for _, b, _ in bounds), default=0)
+        d = degs[q0:q1]
+        if int(nnz_row[q0:q1].max(initial=0)) > cover:
+            return None
+        tw = np.zeros(CB, np.int64)  # total width covering each position
+        offs = []
+        for a, b, w in bounds:
+            offs.append(tw.copy())  # cumulative width of earlier ranges
+            tw[a:b] += w
+        if (d > tw[None, :]).any():
+            return None
+        in_seg = (echunk_s >= q0) & (echunk_s < q1)
+        ec = echunk_s[in_seg] - q0
+        el = elocal_s[in_seg]
+        ed = edep_s[in_seg]
+        cp = colpos[in_seg]
+        ranges = []
+        for (a, b, w), off in zip(bounds, offs):
+            o = off[el]
+            m = (el >= a) & (el < b) & (cp >= o) & (cp < o + w)
+            ix = np.full((nq, b - a, w), Lpad, np.int32)
+            ix[ec[m], el[m] - a, cp[m] - o[m]] = ed[m]
+            ranges.append((a, b, _idx(ix, Lpad)))
+        packed = np.packbits(tinv_bits[q0:q1], axis=-1, bitorder="little")
+        segs.append(TriSegment(q0=q0, tinv=packed, ranges=ranges))
+    return segs
+
 
 def _select_rows_np(red: np.ndarray, sel: np.ndarray) -> np.ndarray:
     red_ext = np.vstack([red, np.zeros((1, red.shape[1]), np.uint8)])
