@@ -978,7 +978,9 @@ def _tri_fill_frozen(layout, Lpad, CB, echunk_s, elocal_s, edep_s, colpos,
             tw[a:b] += w
         if (d > tw[None, :]).any():
             return None
-        in_seg = (echunk_s >= q0) & (echunk_s < q1)
+        # edges arrive sorted by receiving row, hence by chunk: the
+        # segment's edges are one contiguous slice (no 28x full-edge masks)
+        in_seg = slice(*np.searchsorted(echunk_s, (q0, q1)))
         ec = echunk_s[in_seg] - q0
         el = elocal_s[in_seg]
         ed = edep_s[in_seg]
