@@ -986,12 +986,13 @@ def _tri_fill_frozen(layout, Lpad, CB, echunk_s, elocal_s, edep_s, colpos,
         ed = edep_s[in_seg]
         cp = colpos[in_seg]
         ranges = []
-        for (a, b, w), off in zip(bounds, offs):
+        dt = np.uint16 if Lpad < 65536 else np.int32  # final upload dtype:
+        for (a, b, w), off in zip(bounds, offs):      # no _idx re-copy pass
             o = off[el]
             m = (el >= a) & (el < b) & (cp >= o) & (cp < o + w)
-            ix = np.full((nq, b - a, w), Lpad, np.int32)
+            ix = np.full((nq, b - a, w), Lpad, dt)
             ix[ec[m], el[m] - a, cp[m] - o[m]] = ed[m]
-            ranges.append((a, b, _idx(ix, Lpad)))
+            ranges.append((a, b, ix))
         packed = np.packbits(tinv_bits[q0:q1], axis=-1, bitorder="little")
         segs.append(TriSegment(q0=q0, tinv=packed, ranges=ranges))
     return segs

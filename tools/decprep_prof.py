@@ -41,6 +41,8 @@ def main():
     from nanorq_tpu.precode.solver import solve_state
     from nanorq_tpu.rfc.params import params_init
 
+    from nanorq_tpu.precode.device_schedule import _FREEZE_AFTER
+
     ks = [int(a) for a in sys.argv[1:]] or [1000, 5000, 10000, 50000]
     print("| K | plan | rows | solve | W/plan build | total |")
     print("|---|---|---|---|---|---|")
@@ -49,6 +51,14 @@ def main():
         g0, i0, ov = pattern(P, K, 99)
         cc.decoder_plan(P, i0, ov)  # warm per-K' caches (rows base, tables)
         wpath = P.Kp <= cc.WPATH_MAX_KP
+        if not wpath:
+            # walk past the canonical-layout freeze AND the early growth
+            # events so the structured rows measure the steady-state
+            # frozen-layout fill (convergence takes ~6-10 patterns at
+            # K=50000), not warm-up DP or a re-freeze
+            for s in range(_FREEZE_AFTER + 8):
+                _, iw, ovw = pattern(P, K, 31000 + s)
+                cc.decoder_plan(P, iw, ovw)
         best = {"rows": 9e9, "solve": 9e9, "plan": 9e9, "total": 9e9}
         for s in range(5):
             gaps, isis, ovh = pattern(P, K, 7000 + s)
@@ -65,7 +75,7 @@ def main():
                 out_rows = lt_rows_csr(gaps.astype(np.uint32), P)
                 w_rows_gf2(st, out_rows, zero_row=M_pad - 1)
             else:
-                compile_device(st)
+                compile_device(st, canonical=True)
             t_plan = time.time() - t0
             for k, v in dict(rows=t_rows, solve=t_solve, plan=t_plan,
                              total=time.time() - t00).items():
