@@ -114,6 +114,13 @@ def get_lib():
                 i32p, ctypes.c_int32, i32p, ctypes.c_int32,
                 ctypes.c_double, ctypes.c_double, ctypes.c_int32, i32p, ctypes.c_int32,
             ]
+            lib.nrq_tri_fill.restype = ctypes.c_void_p
+            lib.nrq_tri_fill.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+                i32p, ctypes.c_int32, i32p,
+            ]
+            lib.nrq_tp_counts.restype = i32p
+            lib.nrq_tp_counts.argtypes = [ctypes.c_void_p]
             for name in ("nrq_tp_status", "nrq_tp_nseg", "nrq_tp_nranges"):
                 getattr(lib, name).restype = ctypes.c_int32
                 getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -318,3 +325,57 @@ def tri_plan_native(Lpad, CB, dep_k, dep_pos, cand, wgrid,
             off += n
         segments.append((int(q0), int(nq), ranges))
     return posmap, tinv, segments
+
+
+def tri_fill_native(Lpad, CB, dep_k, dep_pos, layout_tri):
+    """Fixed-layout triangle fill (nrq_tri_fill): the canonical-decode hot
+    path.  layout_tri = [(q0, q1, [(a, b, w), ...])] from the frozen layout.
+
+    Returns (fit, posmap, tinv, segments, counts) — segments is None when
+    fit is False (the pattern pokes above the layout; counts let the caller
+    grow the envelope) — or None when the library is missing / Lpad exceeds
+    the uint16 index space.
+    """
+    lib = get_lib()
+    if lib is None or CB % 64 or Lpad >= 65536:
+        return None
+    seg_meta = np.asarray(
+        [(q0, q1 - q0, len(bounds)) for q0, q1, bounds in layout_tri], np.int32
+    ).reshape(-1, 3)
+    range_meta = np.asarray(
+        [rw for _, _, bounds in layout_tri for rw in bounds], np.int32
+    ).reshape(-1, 3)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    dep_k = _as_i32(dep_k)
+    dep_pos = _as_i32(dep_pos)
+    sm = np.ascontiguousarray(seg_meta)
+    rm = np.ascontiguousarray(range_meta)
+    h = lib.nrq_tri_fill(
+        Lpad, CB, dep_k.size,
+        dep_k.ctypes.data_as(i32p), dep_pos.ctypes.data_as(i32p),
+        sm.ctypes.data_as(i32p), sm.shape[0], rm.ctypes.data_as(i32p),
+    )
+    try:
+        nchunks = Lpad // CB
+        counts = np.ctypeslib.as_array(lib.nrq_tp_counts(h), shape=(Lpad,)).copy()
+        posmap = np.ctypeslib.as_array(lib.nrq_tp_posmap(h), shape=(Lpad,)).copy()
+        tinv = np.ctypeslib.as_array(lib.nrq_tp_tinv(h), shape=(nchunks, CB, CB // 8)).copy()
+        if lib.nrq_tp_status(h):
+            return False, posmap, tinv, None, counts
+        ix_len = int(lib.nrq_tp_ix_len(h))
+        ix_flat = (
+            np.ctypeslib.as_array(lib.nrq_tp_ix(h), shape=(ix_len,)).copy()
+            if ix_len else np.zeros(0, np.uint16)
+        )
+    finally:
+        lib.nrq_tp_free(h)
+    segments = []
+    off = 0
+    for (q0, nq, _), (_, _, bounds) in zip(seg_meta, layout_tri):
+        ranges = []
+        for a, b, w in bounds:
+            n = int(nq) * int(b - a) * int(w)
+            ranges.append((int(a), int(b), ix_flat[off : off + n].reshape(nq, b - a, w)))
+            off += n
+        segments.append((int(q0), int(nq), ranges))
+    return True, posmap, tinv, segments, counts

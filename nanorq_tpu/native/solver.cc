@@ -920,7 +920,9 @@ struct TriPlan {
   std::vector<int32_t> seg_meta;   // [nseg * 3] (q0, nq, nranges)
   std::vector<int32_t> range_meta; // [tot_ranges * 3] (a, b, w)
   std::vector<uint16_t> ix;        // flat gather tensors, segment/range order
-  int status = 0;                  // 1: a degree exceeded the width grid
+  std::vector<int32_t> counts;     // [Lpad] cross-chunk degree, sorted basis
+  int status = 0;                  // 1: a degree exceeded the width grid;
+                                   // 2: pattern does not fit the fixed layout
 };
 
 }  // namespace
@@ -1236,6 +1238,165 @@ void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
   pt.mark("tp_fill");
   return out;
 }
+
+// Fixed-layout fill: the canonical-decode hot path.  Same sort/tinv/bucket
+// pipeline as nrq_tri_plan but NO planning — the segment/range layout comes
+// in as (seg_meta, range_meta) from the per-K' frozen layout, ranges may
+// overlap (a row's deps split across covering ranges by cumulative width),
+// and the pattern is validated against the layout (status=2 on misfit:
+// a row degree above the total covering width, or a nonzero row beyond the
+// covered prefix).  counts (sorted-basis degrees) are always exported so
+// the caller can grow the envelope on misfit.
+void* nrq_tri_fill(int32_t Lpad, int32_t CB, int64_t nedges,
+                   const int32_t* dep_k, const int32_t* dep_pos,
+                   const int32_t* seg_meta, int32_t nseg,
+                   const int32_t* range_meta) {
+  TriPlan* out = new TriPlan();
+  const int nchunks = Lpad / CB;
+  PhaseTimer pt;
+
+  // ---- cross-chunk degree per receiving position (original basis) ----
+  std::vector<int32_t> deg(Lpad, 0);
+  for (int64_t e = 0; e < nedges; e++) {
+    int k = dep_k[e];
+    if (dep_pos[e] < (k / CB) * CB) deg[k]++;
+  }
+
+  // ---- intra-chunk degree sort (identical rule to nrq_tri_plan) ----
+  std::vector<int32_t> order((size_t)nchunks * CB);
+  std::vector<int32_t> posmap(Lpad);
+  {
+    std::vector<std::pair<int32_t, int32_t>> keys(CB);
+    for (int q = 0; q < nchunks; q++) {
+      for (int l = 0; l < CB; l++) keys[l] = {-deg[q * CB + l], l};
+      std::stable_sort(keys.begin(), keys.end());
+      int32_t* ord = order.data() + (size_t)q * CB;
+      for (int r = 0; r < CB; r++) {
+        ord[r] = keys[r].second;
+        posmap[q * CB + keys[r].second] = q * CB + r;
+      }
+    }
+  }
+  out->posmap = std::move(posmap);
+  pt.mark("tf_sort");
+
+  // ---- conjugated chunk inverses (same construction as nrq_tri_plan) ----
+  {
+    const int cw = CB >> 6;
+    out->tinv.assign((size_t)nchunks * CB * (CB / 8), 0);
+    std::vector<int32_t> icnt(Lpad + 1, 0);
+    for (int64_t e = 0; e < nedges; e++) {
+      int k = dep_k[e];
+      if (dep_pos[e] >= (k / CB) * CB) icnt[k + 1]++;
+    }
+    for (int r = 0; r < Lpad; r++) icnt[r + 1] += icnt[r];
+    std::vector<int32_t> ideps(icnt[Lpad]);
+    {
+      std::vector<int32_t> cur(icnt.begin(), icnt.end() - 1);
+      for (int64_t e = 0; e < nedges; e++) {
+        int k = dep_k[e];
+        if (dep_pos[e] >= (k / CB) * CB) ideps[cur[k]++] = dep_pos[e] - (k / CB) * CB;
+      }
+    }
+    std::vector<int32_t> rank(CB);
+    for (int q = 0; q < nchunks; q++) {
+      const int32_t* ord = order.data() + (size_t)q * CB;
+      for (int r = 0; r < CB; r++) rank[ord[r]] = r;
+      uint64_t* inv = (uint64_t*)(out->tinv.data() + (size_t)q * CB * (CB / 8));
+      for (int l = 0; l < CB; l++) {
+        int r = rank[l];
+        uint64_t* dst = inv + (size_t)r * cw;
+        dst[r >> 6] |= 1ull << (r & 63);
+        for (int32_t e = icnt[q * CB + l]; e < icnt[q * CB + l + 1]; e++) {
+          const uint64_t* src = inv + (size_t)rank[ideps[e]] * cw;
+          for (int w = 0; w < cw; w++) dst[w] ^= src[w];
+        }
+      }
+    }
+  }
+  pt.mark("tf_tinv");
+
+  // ---- cross edges bucketed by sorted receiving row ----
+  std::vector<int32_t>& counts = out->counts;
+  counts.assign(Lpad, 0);
+  const int32_t* pm = out->posmap.data();
+  for (int64_t e = 0; e < nedges; e++) {
+    int k = dep_k[e];
+    if (dep_pos[e] < (k / CB) * CB) counts[pm[k]]++;
+  }
+  std::vector<int64_t> starts(Lpad + 1, 0);
+  for (int r = 0; r < Lpad; r++) starts[r + 1] = starts[r] + counts[r];
+  std::vector<int32_t> edep(starts[Lpad]);
+  {
+    std::vector<int64_t> cur(starts.begin(), starts.end() - 1);
+    for (int64_t e = 0; e < nedges; e++) {
+      int k = dep_k[e];
+      if (dep_pos[e] >= (k / CB) * CB) continue;
+      edep[cur[pm[k]]++] = pm[dep_pos[e]];
+    }
+  }
+  pt.mark("tf_bucket");
+
+  // ---- validate + fill the fixed layout ----
+  out->seg_meta.assign(seg_meta, seg_meta + (size_t)nseg * 3);
+  int64_t ix_total = 0;
+  {
+    int rmi = 0;
+    for (int s = 0; s < nseg; s++) {
+      int nq = seg_meta[s * 3 + 1], nr = seg_meta[s * 3 + 2];
+      for (int r = 0; r < nr; r++, rmi++) {
+        int a = range_meta[rmi * 3], b = range_meta[rmi * 3 + 1], w = range_meta[rmi * 3 + 2];
+        ix_total += (int64_t)nq * (b - a) * w;
+      }
+    }
+    out->range_meta.assign(range_meta, range_meta + (size_t)rmi * 3);
+  }
+  out->ix.assign(ix_total, (uint16_t)Lpad);  // sentinel = zero row of z
+  {
+    int64_t base = 0;
+    int rmi = 0;
+    std::vector<int64_t> rbase;
+    std::vector<int32_t> tw(CB);
+    for (int s = 0; s < nseg && out->status == 0; s++) {
+      int q0 = seg_meta[s * 3], nq = seg_meta[s * 3 + 1], nr = seg_meta[s * 3 + 2];
+      const int32_t* rm = range_meta + (size_t)rmi * 3;
+      rbase.assign(nr, 0);
+      std::fill(tw.begin(), tw.end(), 0);
+      int cover = 0;
+      for (int r = 0; r < nr; r++) {
+        rbase[r] = base;
+        int a = rm[r * 3], b = rm[r * 3 + 1], w = rm[r * 3 + 2];
+        base += (int64_t)nq * (b - a) * w;
+        for (int l = a; l < b; l++) tw[l] += w;
+        if (b > cover) cover = b;
+      }
+      for (int q = q0; q < q0 + nq && out->status == 0; q++) {
+        for (int l = 0; l < CB; l++) {
+          int row = q * CB + l;
+          int n = counts[row];
+          if (!n) break;  // sorted: degrees are non-increasing within a chunk
+          if (l >= cover || n > tw[l]) { out->status = 2; break; }
+          int64_t s0 = starts[row];
+          int taken = 0;
+          for (int r = 0; r < nr && taken < n; r++) {
+            int a = rm[r * 3], b = rm[r * 3 + 1], w = rm[r * 3 + 2];
+            if (l < a || l >= b) continue;
+            int take = n - taken < w ? n - taken : w;
+            uint16_t* dst = out->ix.data() + rbase[r]
+                            + ((size_t)(q - q0) * (b - a) + (l - a)) * w;
+            for (int e = 0; e < take; e++) dst[e] = (uint16_t)edep[s0 + taken + e];
+            taken += take;
+          }
+        }
+      }
+      rmi += nr;
+    }
+  }
+  pt.mark("tf_fill");
+  return out;
+}
+
+const int32_t* nrq_tp_counts(void* h) { return ((TriPlan*)h)->counts.data(); }
 
 int32_t nrq_tp_status(void* h) { return ((TriPlan*)h)->status; }
 const int32_t* nrq_tp_posmap(void* h) { return ((TriPlan*)h)->posmap.data(); }

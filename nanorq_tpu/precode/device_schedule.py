@@ -374,11 +374,39 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
         else:
             perm = np.arange(max(i, 1), dtype=np.int64)[:i]
             dep_k2, dep_pos2 = dep_k, dep_pos
-        (posmap, tinv_bits, echunk_s, elocal_s, edep_s, colpos, degs, nnz_row) = (
-            _tri_sorted_edges(Lpad, CB, dep_k2, dep_pos2)
-        )
+
+        def _native_fill(lay):
+            """(fit, posmap, tinv_packed, [TriSegment]|None, counts) or None."""
+            try:
+                from nanorq_tpu.native import tri_fill_native
+            except (ImportError, OSError):
+                return None
+            res = tri_fill_native(Lpad, CB, dep_k2, dep_pos2, lay.tri)
+            if res is None:
+                return None
+            fit, pm, tinvp, segs, counts = res
+            tri_segs = None
+            if fit:
+                tri_segs = [
+                    TriSegment(q0=q0, tinv=tinvp[q0 : q0 + nq], ranges=rngs)
+                    for q0, nq, rngs in segs
+                ]
+            return fit, pm, tinvp, tri_segs, counts
+
+        # hot path: fill the frozen layout natively (sort + chunk inverses +
+        # validate + scatter in C++); the NumPy pipeline is the fallback and
+        # the warm-up/freeze path
+        sorted_edges = None
+        tri = None
+        nat = _native_fill(stt.layout) if stt.layout is not None else None
+        if nat is not None:
+            fit, posmap, _tinvp, tri, counts = nat
+            degs = counts.astype(np.int64).reshape(-1, CB)
+            nnz_row = np.count_nonzero(degs, axis=1)
+        else:
+            sorted_edges = _tri_sorted_edges(Lpad, CB, dep_k2, dep_pos2)
+            (posmap, tinv_bits, echunk_s, elocal_s, edep_s, colpos, degs, nnz_row) = sorted_edges
         posfull = posmap[perm] if i else np.zeros(0, np.int64)
-        tri = None  # resolved below, once the bsel edge profile is known too
     else:
         posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)
         posfull = posmap[:i]
@@ -416,9 +444,19 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
         if b_lens.size:
             b_counts[np.asarray(b_slots, np.int64)] = b_lens
 
+        def np_fill(lay):
+            nonlocal sorted_edges
+            if sorted_edges is None:
+                sorted_edges = _tri_sorted_edges(Lpad, CB, dep_k2, dep_pos2)
+            (_pm, tb_, ec_, el_, ed_, cp_, dg_, nz_) = sorted_edges
+            return _tri_fill_frozen(lay, Lpad, CB, ec_, el_, ed_, cp_, dg_, nz_, tb_)
+
         def fill_into(lay):
-            t = _tri_fill_frozen(lay, Lpad, CB, echunk_s, elocal_s, edep_s,
-                                 colpos, degs, nnz_row, tinv_bits)
+            res = _native_fill(lay)
+            if res is not None:
+                t = res[3]  # None on misfit
+            else:
+                t = np_fill(lay)
             if t is None:
                 return None, None
             b = _gather_plan_flat(u_pad, b_erows, b_edeps, sentinel=Lpad,
@@ -431,19 +469,24 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
         with _layout_lock:
             stt.accumulate(degs, nnz_row, b_counts)  # every pattern feeds the envelope
             if stt.layout is not None:
-                tri, bsel = fill_into(stt.layout)
+                bsel = None
+                if tri is None and nat is None:  # native unavailable: NumPy try
+                    tri = np_fill(stt.layout)
                 if tri is not None:
+                    bsel = _gather_plan_flat(u_pad, b_erows, b_edeps, sentinel=Lpad,
+                                             classes=stt.layout.bsel_classes)
+                if tri is not None and bsel is not None:
                     stats.count("replay_layout_hit")
                 else:  # profile outgrew the frozen shapes: re-freeze on the
                     # accumulated union (monotone; converges in a few events)
                     stt.freeze(Lpad, CB)
                     tri, bsel = fill_into(stt.layout)
-                    assert tri is not None  # envelope includes this pattern
+                    assert tri is not None and bsel is not None  # envelope covers it
                     stats.count("replay_layout_grown")
             elif stt.seen >= _FREEZE_AFTER:
                 stt.freeze(Lpad, CB)  # DP over the accumulated max profile
                 tri, bsel = fill_into(stt.layout)
-                assert tri is not None  # envelope includes this pattern
+                assert tri is not None and bsel is not None  # envelope covers it
                 stats.count("replay_layout_frozen")
             else:
                 # warm-up: per-pattern DP plan (native), own program
