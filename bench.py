@@ -294,8 +294,10 @@ def bench_K(K, T, blocks, iters, rng):
     # production stream settles into — not a warm-up plan.  The same loop
     # yields the marginal per-pattern host prep (min over fresh patterns,
     # warm per-K' caches).
+    from nanorq_tpu.precode.device_schedule import _FREEZE_AFTER
+
     dec_solve_ms = float("inf")
-    for s in range(4):
+    for s in range(_FREEZE_AFTER + 1):
         rng2 = np.random.default_rng(1000 + s)
         g2 = np.nonzero(rng2.random(K) < 0.06)[0]
         i2 = np.arange(P.Kp + ov, dtype=np.uint32)

@@ -232,7 +232,10 @@ def _gather_plan_flat(n_rows, erows, edeps, sentinel, w_small: int = 8, classes=
         return GatherPlan(n_rows=n_rows, passes=passes, overflow=overflow)
 
     lo = w_small
-    for w in [x for x in _WIDTHS if x > w_small]:
+    widths = [x for x in _WIDTHS if x > w_small]
+    if cmax > _WIDTHS[-1]:
+        widths.append(_quant(cmax))  # beyond the grid: extended final class
+    for w in widths:
         if lo >= cmax:
             break
         w = _quant(cmax) if w >= cmax else w  # last class: grid-quantized width
@@ -363,6 +366,12 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
                 # zone capacity ~1.5x the first-seen closed population
                 hp = _quant(nheavy + max(256, nheavy // 2)) if nheavy else 0
                 stt = _layout_cache[key] = _LayoutState((Lpad + hp) // CB, CB, hp)
+            _layout_cache.move_to_end(key)
+            while len(_layout_cache) > _LAYOUT_CAPACITY:
+                _layout_cache.popitem(last=False)
+            # snapshot: fills and bsel classes must come from ONE layout
+            # version even if a concurrent pattern re-freezes meanwhile
+            lay0 = stt.layout
         Lpad += stt.hpad  # extended triangle; [nlight, Lpad-hpad) is padding
         if nheavy:
             perm = np.empty(i, np.int64)
@@ -395,17 +404,25 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
 
         # hot path: fill the frozen layout natively (sort + chunk inverses +
         # validate + scatter in C++); the NumPy pipeline is the fallback and
-        # the warm-up/freeze path
+        # the warm-up/freeze path (which need only the posmap + degree
+        # profile up front — two bincounts and an argsort, not the full
+        # sorted-edge machinery)
         sorted_edges = None
         tri = None
-        nat = _native_fill(stt.layout) if stt.layout is not None else None
+        nat = _native_fill(lay0) if lay0 is not None else None
         if nat is not None:
-            fit, posmap, _tinvp, tri, counts = nat
+            _fit, posmap, _tinvp, tri, counts = nat
             degs = counts.astype(np.int64).reshape(-1, CB)
-            nnz_row = np.count_nonzero(degs, axis=1)
         else:
-            sorted_edges = _tri_sorted_edges(Lpad, CB, dep_k2, dep_pos2)
-            (posmap, tinv_bits, echunk_s, elocal_s, edep_s, colpos, degs, nnz_row) = sorted_edges
+            ext = dep_pos2 < (dep_k2 // CB) * CB
+            deg_pos = np.bincount(dep_k2[ext], minlength=Lpad)
+            order_in_chunk = np.argsort(-deg_pos.reshape(-1, CB), axis=1, kind="stable")
+            rank = np.empty((Lpad // CB, CB), np.int64)
+            np.put_along_axis(rank, order_in_chunk,
+                              np.broadcast_to(np.arange(CB), (Lpad // CB, CB)), axis=1)
+            posmap = (np.arange(Lpad) // CB) * CB + rank.reshape(-1)
+            degs = np.sort(deg_pos.reshape(-1, CB), axis=1)[:, ::-1].astype(np.int64)
+        nnz_row = np.count_nonzero(degs, axis=1)
         posfull = posmap[perm] if i else np.zeros(0, np.int64)
     else:
         posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)
@@ -466,15 +483,19 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
         # `stt` was resolved (or created, with its hpad) in the triangle
         # branch above; keep using that object even if a concurrent pattern
         # replaced the cache entry — its shapes match this computation.
+        # lay0 is the layout snapshot the triangle fill ran against: the
+        # bsel classes MUST come from the same version (a concurrent
+        # re-freeze between the unlocked fill and here would otherwise mix
+        # shapes from two layout versions into one never-reusable program).
         with _layout_lock:
-            stt.accumulate(degs, nnz_row, b_counts)  # every pattern feeds the envelope
-            if stt.layout is not None:
+            stt.accumulate(degs, b_counts)  # every pattern feeds the envelope
+            if lay0 is not None:
                 bsel = None
                 if tri is None and nat is None:  # native unavailable: NumPy try
-                    tri = np_fill(stt.layout)
+                    tri = np_fill(lay0)
                 if tri is not None:
                     bsel = _gather_plan_flat(u_pad, b_erows, b_edeps, sentinel=Lpad,
-                                             classes=stt.layout.bsel_classes)
+                                             classes=lay0.bsel_classes)
                 if tri is not None and bsel is not None:
                     stats.count("replay_layout_hit")
                 else:  # profile outgrew the frozen shapes: re-freeze on the
@@ -612,6 +633,10 @@ def _tri_plan(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
 
         if CB % 64:
             raise ImportError  # packed planner needs whole words per row
+        if Lpad >= 65536:
+            # the native planner stores indices + sentinel as uint16; an
+            # extended canonical triangle at the largest K' can exceed that
+            raise ImportError
         res = tri_plan_native(
             Lpad, CB, dep_k, dep_pos, [c for c in CAND_GRID if c < CB] + [CB],
             WIDTH_GRID, TRI_RANGE_PENALTY, TRI_SEG_PENALTY_CHUNKS * CB,
@@ -852,6 +877,7 @@ def _tri_plan_py(Lpad: int, CB: int, dep_k: np.ndarray, dep_pos: np.ndarray):
 # padding of a near-identical staircase: a few percent.
 # ---------------------------------------------------------------------------
 
+from collections import OrderedDict as _OrderedDict
 from threading import Lock as _Lock
 
 _FREEZE_AFTER = int(os.environ.get("NANORQ_LAYOUT_FREEZE_AFTER", 3))
@@ -913,35 +939,36 @@ def _heavy_zone_order(n: int, dep_k: np.ndarray, dep_pos: np.ndarray):
 
 
 class _FrozenLayout:
-    __slots__ = ("tri", "bsel_classes", "version")
+    __slots__ = ("tri", "bsel_classes")
 
-    def __init__(self, tri, bsel_classes, version=0):
+    def __init__(self, tri, bsel_classes):
         self.tri = tri  # [(q0, q1, [(a, b, w), ...]), ...] contiguous ranges from 0
         self.bsel_classes = bsel_classes  # [(w, nb), ...] ascending w
-        self.version = version
 
 
 class _LayoutState:
     """Per-key accumulator: warm-up profile maxima, then the frozen layout."""
 
-    __slots__ = ("seen", "degs_max", "nnz_max", "band_max", "layout", "hpad")
+    __slots__ = ("seen", "degs_max", "band_max", "bmax", "layout", "hpad")
 
     def __init__(self, nchunks, CB, hpad=0):
         self.seen = 0
         self.degs_max = np.zeros((nchunks, CB), np.int64)
-        self.nnz_max = np.zeros(nchunks, np.int64)
         self.band_max = np.zeros(len(_BSEL_BANDS), np.int64)
+        self.bmax = 0  # largest bsel row degree seen (may exceed the grid)
         self.layout: _FrozenLayout | None = None
         self.hpad = hpad  # heavy-zone positions at the end of the triangle
 
-    def accumulate(self, degs, nnz_row, b_counts):
+    def accumulate(self, degs, b_counts):
         np.maximum(self.degs_max, degs, out=self.degs_max)
-        np.maximum(self.nnz_max, nnz_row, out=self.nnz_max)
         over = b_counts[b_counts > 8]
         if over.size:
+            self.bmax = max(self.bmax, int(over.max()))
             hist = np.bincount(
-                np.searchsorted(np.asarray(_BSEL_BANDS), over), minlength=len(_BSEL_BANDS)
-            )[: len(_BSEL_BANDS)]
+                np.minimum(np.searchsorted(np.asarray(_BSEL_BANDS), over),
+                           len(_BSEL_BANDS) - 1),
+                minlength=len(_BSEL_BANDS),
+            )
             np.maximum(self.band_max, hist, out=self.band_max)
         self.seen += 1
 
@@ -983,12 +1010,17 @@ class _LayoutState:
             for w, n in zip(_BSEL_BANDS, self.band_max)
             if n > 0
         ]
-        version = 0 if self.layout is None else self.layout.version + 1
-        self.layout = _FrozenLayout(slacked, classes, version)
+        if self.bmax > _BSEL_BANDS[-1] and classes:
+            # a row degree beyond the band grid: widen the last class so the
+            # histogram's clamped top band can actually hold its rows
+            w, n = classes[-1]
+            classes[-1] = (_quant(self.bmax), n)
+        self.layout = _FrozenLayout(slacked, classes)
 
 
 _layout_lock = _Lock()
-_layout_cache: dict[tuple, _LayoutState] = {}
+_layout_cache: "_OrderedDict[tuple, _LayoutState]" = _OrderedDict()
+_LAYOUT_CAPACITY = 16  # LRU bound: each state holds ~MB-scale profile arrays
 
 
 def clear_layout_cache() -> None:

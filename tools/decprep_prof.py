@@ -70,10 +70,17 @@ def main():
             st = solve_state(P, rows, ovh)
             t_solve = time.time() - t0
             t0 = time.time()
+            # mirror codec.cache.decoder_plan's path selection exactly
             if wpath and not st.hdpc_used:
                 M_pad = _pad_rows(st.M + 1)
                 out_rows = lt_rows_csr(gaps.astype(np.uint32), P)
                 w_rows_gf2(st, out_rows, zero_row=M_pad - 1)
+            elif st.hdpc_used and P.Kp <= cc.WPATH_GF256_MAX_KP:
+                from nanorq_tpu.ops.wpath import w_rows
+
+                M_pad = _pad_rows(st.M + 1)
+                out_rows = lt_rows_csr(gaps.astype(np.uint32), P)
+                w_rows(st, out_rows, n_cols=M_pad)
             else:
                 compile_device(st, canonical=True)
             t_plan = time.time() - t0

@@ -52,8 +52,13 @@ def run_trial(seed: int) -> dict:
     old_env = os.environ.get("NANORQ_WPATH_MAX_KP")
     if force_structured:
         os.environ["NANORQ_WPATH_MAX_KP"] = "0"
-    # the knob is read at import; patch the module value directly too
+    # the knobs are read at import; patch the module values directly too.
+    # Both W gates must drop for hdpc-pivot patterns to take the canonical
+    # structured path this mode exists to exercise.
     cc.WPATH_MAX_KP = 0 if force_structured else 16384
+    old_gf256 = cc.WPATH_GF256_MAX_KP
+    if force_structured:
+        cc.WPATH_GF256_MAX_KP = 0
 
     tmp = None
     try:
@@ -146,6 +151,7 @@ def run_trial(seed: int) -> dict:
         else:
             os.environ["NANORQ_WPATH_MAX_KP"] = old_env
         cc.WPATH_MAX_KP = int(os.environ.get("NANORQ_WPATH_MAX_KP", 16384))
+        cc.WPATH_GF256_MAX_KP = old_gf256
         if tmp is not None:
             os.unlink(tmp.name)
 
