@@ -65,6 +65,10 @@ def run_trial(seed: int) -> dict:
         data = rng.integers(0, 256, size, dtype=np.uint8)
         enc = Encoder(size, T, Al=Al, Z=Z, N=N)
         dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        # tiny blocks + heavy loss/overhead/retries can push repair ESIs
+        # past the default max_esi = 2*K' (which the reference also
+        # rejects, nanorq.c:374); raise it like a real receiver would
+        assert dec.set_max_esi(min((1 << 24) - 1, 8 * dec.P.Kp + 256))
         io_in = MemoryIO(data)
         if backend == "mem":
             out = np.zeros(size, np.uint8)
