@@ -135,3 +135,20 @@ def test_wut_identity(K, ov):
     ut = np.zeros((max(i, 1), ds.u_pad // 8), np.uint8)
     np.bitwise_or.at(ut, (ut_k, ut_uc >> 3), (np.uint8(1) << (ut_uc & 7).astype(np.uint8)))
     assert np.array_equal(chk, ut)
+
+
+def test_gather_plan_covers_beyond_grid_degrees():
+    """A row wider than the width grid (4096) must still land every dep in
+    the plan (review r3: the rewritten class loop silently dropped such
+    rows; the tri planner asserts, the gather plan must not lose edges)."""
+    import numpy as np
+
+    from nanorq_tpu.precode.device_schedule import GatherPlan, _gather_plan_flat
+
+    n_rows, big = 16, 5000
+    erows = np.concatenate([np.zeros(big, np.int64), np.full(7, 3, np.int64)])
+    edeps = np.arange(erows.size, dtype=np.int64)
+    plan = _gather_plan_flat(n_rows, erows, edeps, sentinel=10**6)
+    placed = sum(int((np.asarray(p) != 10**6).sum()) for p in plan.passes)
+    placed += sum(int((np.asarray(ix) != 10**6).sum()) for ix, _ in plan.overflow)
+    assert placed == erows.size, f"{placed} of {erows.size} edges placed"
