@@ -1028,6 +1028,55 @@ def clear_layout_cache() -> None:
         _layout_cache.clear()
 
 
+def save_layout_cache(path: str) -> None:
+    """Persist the per-K' frozen decode layouts (plain data: bounds, class
+    lists, accumulated profiles).  A restarted decoder that loads them skips
+    the warm-up/freeze walk AND compiles the same XLA programs — so with a
+    persistent compilation cache a cold process replays decode patterns with
+    zero compiles (SURVEY.md §5 checkpoint/resume, the decoder-side analog
+    of warm_encoder_cache)."""
+    import pickle
+
+    with _layout_lock:
+        blob = {
+            key: {
+                "seen": stt.seen,
+                "degs_max": stt.degs_max,
+                "band_max": stt.band_max,
+                "bmax": stt.bmax,
+                "hpad": stt.hpad,
+                "layout": None if stt.layout is None
+                else (stt.layout.tri, stt.layout.bsel_classes),
+            }
+            for key, stt in _layout_cache.items()
+        }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_layout_cache(path: str) -> int:
+    """Load layouts saved by save_layout_cache; returns the entry count."""
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    with _layout_lock:
+        for key, d in blob.items():
+            CB = key[1]
+            stt = _LayoutState(d["degs_max"].shape[0], CB, d["hpad"])
+            stt.seen = d["seen"]
+            stt.degs_max = d["degs_max"]
+            stt.band_max = d["band_max"]
+            stt.bmax = d["bmax"]
+            if d["layout"] is not None:
+                stt.layout = _FrozenLayout(*d["layout"])
+            _layout_cache[key] = stt
+            _layout_cache.move_to_end(key)
+        while len(_layout_cache) > _LAYOUT_CAPACITY:
+            _layout_cache.popitem(last=False)
+    return len(blob)
+
+
 def _tri_fill_frozen(layout, Lpad, CB, echunk_s, elocal_s, edep_s, colpos,
                      degs, nnz_row, tinv_bits):
     """Fill a pattern's sorted triangle edges into a frozen layout.

@@ -104,6 +104,27 @@ def test_heavy_zone_order_is_topological():
     assert not light_on_closed.any()
 
 
+def test_layout_cache_save_load_roundtrip(tmp_path):
+    """A restarted decoder that loads persisted layouts compiles the SAME
+    program shapes for new patterns — no warm-up, no re-freeze."""
+    K = 1800
+    P = params_init(K)
+    ov = max(1, int(0.05 * K))
+    sigs = []
+    for s in range(dsm._FREEZE_AFTER + 3):
+        _, isis = _pattern(P, K, ov, 700 + s)
+        st = solve_state(P, cc._patched_rows(P, isis, ov), ov)
+        sigs.append(_sig(dsm.compile_device(st, canonical=True)))
+    path = str(tmp_path / "layouts.bin")
+    dsm.save_layout_cache(path)
+    dsm.clear_layout_cache()
+    assert dsm.load_layout_cache(path) >= 1
+    _, isis = _pattern(P, K, ov, 999)
+    st = solve_state(P, cc._patched_rows(P, isis, ov), ov)
+    sig = _sig(dsm.compile_device(st, canonical=True))
+    assert sig == sigs[-1], "restored layout produced different program shapes"
+
+
 def test_end_to_end_repair_with_canonical_layouts():
     """Full API round trip at a K that exercises the structured canonical
     path (W path disabled), multiple distinct loss patterns."""
