@@ -106,6 +106,38 @@ def test_gather_xor_parity():
         assert np.array_equal(got, np.bitwise_xor.reduce(src[idx], axis=1)), (S, n, w, t)
 
 
+def test_canonical_decode_replay_parity_on_chip():
+    """Frozen-layout (heavy-reordered, spill-range) decode schedules must
+    replay bit-exactly on the TPU kernels vs the NumPy oracle."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.ops.replay import device_arrays, replay_device
+    from nanorq_tpu.precode import device_schedule as dsm
+    from nanorq_tpu.precode.solver import solve_state
+    from nanorq_tpu.rfc.params import params_init
+
+    rng = np.random.default_rng(5)
+    K, T = 2000, 1280
+    P = params_init(K)
+    ov = max(1, K // 20)
+    ds = None
+    for s in range(dsm._FREEZE_AFTER + 2):  # walk past the freeze
+        r2 = np.random.default_rng(600 + s)
+        gaps = np.nonzero(r2.random(K) < 0.06)[0]
+        isis = np.arange(P.Kp + ov, dtype=np.uint32)
+        rep = (np.arange(K, K + gaps.size + ov) + (P.Kp - K)).astype(np.uint32)
+        isis[gaps] = rep[: gaps.size]
+        isis[P.Kp :] = rep[gaps.size :]
+        st = solve_state(P, cc._patched_rows(P, isis, ov), ov)
+        ds = dsm.compile_device(st, canonical=True)
+    D = np.zeros((ds.M_pad, T), np.uint8)
+    D[:K] = rng.integers(0, 256, (K, T), dtype=np.uint8)
+    got = np.asarray(replay_device(device_arrays(ds), jnp.asarray(D)))
+    want = dsm.replay_structured_numpy(D, ds)
+    assert np.array_equal(got, want)
+
+
 def test_full_replay_parity_on_chip():
     """End-to-end structured replay on TPU vs the NumPy oracle executor."""
     import jax.numpy as jnp
