@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip
+.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip graph docs
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -27,3 +27,12 @@ clean-native:
 # end-to-end file round trip through the CLIs (reference `make test` analog)
 roundtrip:
 	$(PY) -m pytest tests/test_cli.py -q
+
+# regenerate graph.png + doc tables from the latest driver-captured bench JSON
+BENCH_JSON ?= $(lastword $(sort $(wildcard BENCH_r*.json)))
+graph:
+	$(PY) tools/graph.py $(BENCH_JSON) graph.png
+
+docs:
+	$(PY) tools/regen_docs.py $(BENCH_JSON)
+	$(PY) tools/graph.py $(BENCH_JSON) graph.png

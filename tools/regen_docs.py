@@ -32,8 +32,9 @@ def readme_table(det):
         r = det[k]
         e, p, d0, doh = REF.get(k, (None,) * 4)  # off-grid K: no ref column
         ref = lambda v: "-" if v is None else f"{v/1e3:.2f}"
+        fresh = f"**{r['encode_fresh']:.1f}**" if "encode_fresh" in r else "-"
         rows.append(
-            f"| {k} | **{r['encode']:.1f}** ({ref(p)}) | **{r['encode_fresh']:.1f}** ({ref(e)}) "
+            f"| {k} | **{r['encode']:.1f}** ({ref(p)}) | {fresh} ({ref(e)}) "
             f"| **{r['decode']:.1f}** ({ref(doh)}) | **{r['decode0']:.1f}** ({ref(d0)}) "
             f"| {r.get('vs_ref', 0):.1f}x |"
         )
@@ -48,8 +49,9 @@ def notes_table(det):
     for k in sorted(det, key=int):
         r = det[k]
         pipe = f"{r['pipe_speedup']:.2f}x" if "pipe_speedup" in r else "-"
+        fresh = f"{r['encode_fresh']:.1f}" if "encode_fresh" in r else "-"
         rows.append(
-            f"| {k} | {r['encode']:.1f} | {r['encode_fresh']:.1f} | {r['decode']:.1f} "
+            f"| {k} | {r['encode']:.1f} | {fresh} | {r['decode']:.1f} "
             f"| {r['decode0']:.1f} | {r['agg']:.1f} | {r.get('vs_ref', 0):.2f}x "
             f"| {r['solve_ms']:.0f} / {r['dec_solve_ms']:.0f} | {pipe} |"
         )
@@ -68,7 +70,12 @@ def splice(path, table, src_name):
 
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r03.json"
-    rec = json.loads(open(src).read().strip().splitlines()[-1])
+    text = open(src).read().strip()
+    try:  # driver capture: a wrapper object with the bench line under "parsed"
+        rec = json.loads(text)
+        rec = rec.get("parsed", rec) if isinstance(rec, dict) else rec
+    except json.JSONDecodeError:  # raw bench stdout: last line is the JSON
+        rec = json.loads(text.splitlines()[-1])
     det = rec["detail"]
     splice("README.md", readme_table(det), src)
     splice("BENCH_NOTES.md", notes_table(det), src)
