@@ -189,8 +189,10 @@ def bench_decode_pipe(K, T, nblocks, iters):
             ]
             for s, g, ov, Dd, fut in futs:
                 launched.append((s, g, dec._repair_launch(s, g, ov, fut.result(), Dd)))
-        for _, _, sym in launched:
-            sync4(sym)
+        # single-device dispatch completes in order, so the last launch's
+        # sync covers every block (each ~35 ms relay round-trip would
+        # otherwise tax the pipelined arm 8x for a 4-byte fetch)
+        sync4(launched[-1][2])
         best_pipe = min(best_pipe, time.time() - t0)
 
         cc.clear_decoder_cache()
@@ -296,6 +298,9 @@ def bench_K(K, T, blocks, iters, rng):
     # warm per-K' caches).
     from nanorq_tpu.precode.device_schedule import _FREEZE_AFTER
 
+    from nanorq_tpu.utils import stats
+
+    lay0 = stats.snapshot()["counters"]
     dec_solve_ms = float("inf")
     for s in range(_FREEZE_AFTER + 1):
         rng2 = np.random.default_rng(1000 + s)
@@ -312,6 +317,14 @@ def bench_K(K, T, blocks, iters, rng):
     dec_solve_ms = min(dec_solve_ms, 1e3 * (time.time() - t0))
     assert plan_dec is not None
     wpath = isinstance(plan_dec, WSchedule)
+    # canonical-layout reuse over the pattern walk: hits = patterns served
+    # by an already-compiled per-K' frozen program (structured path only)
+    lay1 = stats.snapshot()["counters"]
+    layout = {
+        k.removeprefix("replay_layout_"): lay1.get(k, 0) - lay0.get(k, 0)
+        for k in ("replay_layout_hit", "replay_layout_grown", "replay_layout_frozen", "replay_layout_warmup")
+        if lay1.get(k, 0) - lay0.get(k, 0)
+    }
 
     # true decode payload: received sources + real repair symbols in the gap
     # and overhead slots (generated from the encoder intermediates)
@@ -375,6 +388,8 @@ def bench_K(K, T, blocks, iters, rng):
         "solve_ms": solve_ms,
         "fresh_ms": fresh_ms,
         "dec_solve_ms": dec_solve_ms,
+        "dec_plan": "W" if wpath else "structured",
+        **({"dec_layout": layout} if layout else {}),
         "batch_MB": payload / 1e6,
     }
 
@@ -392,9 +407,12 @@ def main():
     ap.add_argument(
         "--pipe",
         action="store_true",
-        help="also measure multi-block pipelined decode (distinct loss patterns; "
-        "relay-tunnel uploads cap the absolute number on this rig, see BENCH_NOTES)",
+        help="extend the pipelined-decode measurement to K=50000 (structured "
+        "path: ~6 MB/pattern schedule uploads + ~0.5 GB payload staging ride "
+        "the ~20 MB/s relay tunnel on this rig, see BENCH_NOTES); the dense-W "
+        "Ks (5000, 10000) are always measured",
     )
+    ap.add_argument("--no-pipe", action="store_true", help="skip pipelined-decode entirely")
     ap.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
     args = ap.parse_args()
     ks = [100, 500, 1000, 5000, 10000, 50000] if args.full else args.ks
@@ -415,11 +433,11 @@ def main():
             blocks -= 1
         iters = args.iters if K <= 5000 else max(4, args.iters // 4)
         r = bench_K(K, args.T, blocks, iters, rng)
-        if args.pipe and K in (5000, 10000, 50000):  # multi-block solve hiding
-            # speedup-only metric: through the axon relay, the absolute
-            # number is dominated by per-pattern schedule-tensor uploads
-            # (~20 MB/s tunnel), identical in both arms; the ratio isolates
-            # the threaded solve + async-dispatch overlap of repair_all
+        pipe_ks = () if args.no_pipe else ((5000, 10000, 50000) if args.pipe else (5000, 10000))
+        if K in pipe_ks:  # multi-block solve hiding (repair_all pipeline)
+            # speedup-only metric: the ratio isolates the threaded solve +
+            # async-dispatch overlap of repair_all; both arms pay the same
+            # per-pattern uploads (KB-scale on the dense-W path)
             _, r["pipe_speedup"] = bench_decode_pipe(K, args.T, 8, 3)
         base = REF_BASELINE.get(K)
         if base:
@@ -462,7 +480,10 @@ def main():
                 "unit": "Gbps",
                 "vs_baseline": round(value / ref_agg, 3),
                 "vs_baseline_min_over_grid": round(min(vs_all), 3) if vs_all else None,
-                "detail": {str(k): {m: round(v, 3) for m, v in r.items()} for k, r in results.items()},
+                "detail": {
+                    str(k): {m: round(v, 3) if isinstance(v, float) else v for m, v in r.items()}
+                    for k, r in results.items()
+                },
             }
         )
     )
