@@ -417,6 +417,24 @@ def main():
     args = ap.parse_args()
     ks = [100, 500, 1000, 5000, 10000, 50000] if args.full else args.ks
 
+    # device liveness gate: the axon relay can drop; a bounded probe turns
+    # an indefinite hang on the first device op into a clear, fast failure
+    # (the probe thread runs the op; the watchdog only trips if it stalls)
+    import threading
+
+    alive = threading.Event()
+
+    def _probe():
+        import jax.numpy as jnp
+
+        np.asarray(jnp.zeros((8, 128), jnp.uint8)[0, :4])
+        alive.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not alive.wait(timeout=float(os.environ.get("NANORQ_BENCH_PROBE_TIMEOUT", 600))):
+        log("FATAL: device unreachable (liveness probe timed out) — is the TPU relay up?")
+        os._exit(3)
+
     rng = np.random.default_rng(0)
     results = {}
     prof = None
