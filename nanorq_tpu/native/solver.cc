@@ -925,33 +925,30 @@ struct TriPlan {
                                    // 2: pattern does not fit the fixed layout
 };
 
-}  // namespace
-
-extern "C" {
-
-// dep_k / dep_pos: cross+in-chunk dep edges over triangle *positions*
-// (dep_pos < dep_k < Lpad, positions beyond i have no edges).  cand:
-// ascending candidate prefix boundaries, last == CB.  wgrid: ascending
-// gather-width grid.  seg_lens: ascending segment-length grid.
-void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
-                   const int32_t* dep_k, const int32_t* dep_pos,
-                   const int32_t* cand, int32_t nc,
-                   const int32_t* wgrid, int32_t nw,
-                   double range_penalty, double seg_penalty,
-                   int32_t max_ranges, const int32_t* seg_lens, int32_t nsl) {
-  TriPlan* out = new TriPlan();
+// Shared preamble of nrq_tri_plan / nrq_tri_fill: cross-chunk degree count,
+// intra-chunk stable degree sort (-> out->posmap + order), conjugated
+// bit-packed chunk inverses (-> out->tinv), and cross edges bucketed by
+// sorted receiving row (-> counts/starts/edep).  The two entry points must
+// stay bit-identical here — compile_device asserts posmap equality between
+// the warm-up (plan) and frozen-fill paths.
+static void tri_preamble(TriPlan* out, int32_t Lpad, int32_t CB, int64_t nedges,
+                         const int32_t* dep_k, const int32_t* dep_pos,
+                         std::vector<int32_t>& counts,
+                         std::vector<int64_t>& starts,
+                         std::vector<int32_t>& edep,
+                         PhaseTimer& pt, const char* tag_sort,
+                         const char* tag_tinv) {
   const int nchunks = Lpad / CB;
-  PhaseTimer pt;
 
-  // ---- split edges; cross-chunk degree per receiving position ----
+  // cross-chunk degree per receiving position (original basis)
   std::vector<int32_t> deg(Lpad, 0);
   for (int64_t e = 0; e < nedges; e++) {
     int k = dep_k[e];
     if (dep_pos[e] < (k / CB) * CB) deg[k]++;
   }
 
-  // ---- intra-chunk order: positions by non-increasing cross degree
-  // (stable: ties keep ascending local index) ----
+  // intra-chunk order: positions by non-increasing cross degree
+  // (stable: ties keep ascending local index)
   std::vector<int32_t> order((size_t)nchunks * CB);  // new local -> old local
   std::vector<int32_t> posmap(Lpad);
   {
@@ -967,13 +964,13 @@ void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
     }
   }
   out->posmap = std::move(posmap);
-  pt.mark("tp_sort");
+  pt.mark(tag_sort);
 
-  // ---- chunk inverses, computed directly in the conjugated (degree-
-  // sorted) basis, bit-packed.  In-chunk edges are sparse (~2-3/row), and
-  // forward substitution is valid in any topological order, so processing
-  // old-local rows ascending gives P Tinv P^T without ever materializing a
-  // dense T or a conjugation gather:
+  // chunk inverses, computed directly in the conjugated (degree-sorted)
+  // basis, bit-packed.  In-chunk edges are sparse (~2-3/row), and forward
+  // substitution is valid in any topological order, so processing old-local
+  // rows ascending gives P Tinv P^T without ever materializing a dense T or
+  // a conjugation gather:
   //   inv[rank[l]] = e_rank[l] ^ XOR_{(l, p) in-chunk} inv[rank[p]]
   {
     const int cw = CB >> 6;  // 64-bit words per packed row (CB % 64 == 0)
@@ -1010,31 +1007,51 @@ void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
       }
     }
   }
-  pt.mark("tp_tinv");
+  pt.mark(tag_tinv);
 
-  // ---- cross edges in the sorted basis, stably ordered by receiving row ----
-  std::vector<int32_t> counts(Lpad, 0);
+  // cross edges in the sorted basis, stably bucketed by receiving row
+  counts.assign(Lpad, 0);
   const int32_t* pm = out->posmap.data();
   for (int64_t e = 0; e < nedges; e++) {
     int k = dep_k[e];
     if (dep_pos[e] < (k / CB) * CB) counts[pm[k]]++;
   }
-  std::vector<int64_t> starts(Lpad + 1, 0);
+  starts.assign(Lpad + 1, 0);
   for (int r = 0; r < Lpad; r++) starts[r + 1] = starts[r] + counts[r];
-  const int64_t ncross = starts[Lpad];
-  std::vector<int32_t> erow(ncross), edep(ncross), ecolpos(ncross);
+  edep.assign(starts[Lpad], 0);
   {
     std::vector<int64_t> cur(starts.begin(), starts.end() - 1);
     for (int64_t e = 0; e < nedges; e++) {
       int k = dep_k[e];
       if (dep_pos[e] >= (k / CB) * CB) continue;
-      int r = pm[k];
-      int64_t at = cur[r]++;
-      erow[at] = r;
-      edep[at] = pm[dep_pos[e]];
-      ecolpos[at] = (int32_t)(at - starts[r]);
+      edep[cur[pm[k]]++] = pm[dep_pos[e]];
     }
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// dep_k / dep_pos: cross+in-chunk dep edges over triangle *positions*
+// (dep_pos < dep_k < Lpad, positions beyond i have no edges).  cand:
+// ascending candidate prefix boundaries, last == CB.  wgrid: ascending
+// gather-width grid.  seg_lens: ascending segment-length grid.
+void* nrq_tri_plan(int32_t Lpad, int32_t CB, int64_t nedges,
+                   const int32_t* dep_k, const int32_t* dep_pos,
+                   const int32_t* cand, int32_t nc,
+                   const int32_t* wgrid, int32_t nw,
+                   double range_penalty, double seg_penalty,
+                   int32_t max_ranges, const int32_t* seg_lens, int32_t nsl) {
+  TriPlan* out = new TriPlan();
+  const int nchunks = Lpad / CB;
+  PhaseTimer pt;
+
+  std::vector<int32_t> counts;
+  std::vector<int64_t> starts;
+  std::vector<int32_t> edep;
+  tri_preamble(out, Lpad, CB, nedges, dep_k, dep_pos, counts, starts, edep,
+               pt, "tp_sort", "tp_tinv");
 
   // degs[q][l] = counts in the sorted basis (non-increasing per chunk);
   // nnz_row[q] = number of rows with any cross dep
@@ -1252,89 +1269,13 @@ void* nrq_tri_fill(int32_t Lpad, int32_t CB, int64_t nedges,
                    const int32_t* seg_meta, int32_t nseg,
                    const int32_t* range_meta) {
   TriPlan* out = new TriPlan();
-  const int nchunks = Lpad / CB;
   PhaseTimer pt;
 
-  // ---- cross-chunk degree per receiving position (original basis) ----
-  std::vector<int32_t> deg(Lpad, 0);
-  for (int64_t e = 0; e < nedges; e++) {
-    int k = dep_k[e];
-    if (dep_pos[e] < (k / CB) * CB) deg[k]++;
-  }
-
-  // ---- intra-chunk degree sort (identical rule to nrq_tri_plan) ----
-  std::vector<int32_t> order((size_t)nchunks * CB);
-  std::vector<int32_t> posmap(Lpad);
-  {
-    std::vector<std::pair<int32_t, int32_t>> keys(CB);
-    for (int q = 0; q < nchunks; q++) {
-      for (int l = 0; l < CB; l++) keys[l] = {-deg[q * CB + l], l};
-      std::stable_sort(keys.begin(), keys.end());
-      int32_t* ord = order.data() + (size_t)q * CB;
-      for (int r = 0; r < CB; r++) {
-        ord[r] = keys[r].second;
-        posmap[q * CB + keys[r].second] = q * CB + r;
-      }
-    }
-  }
-  out->posmap = std::move(posmap);
-  pt.mark("tf_sort");
-
-  // ---- conjugated chunk inverses (same construction as nrq_tri_plan) ----
-  {
-    const int cw = CB >> 6;
-    out->tinv.assign((size_t)nchunks * CB * (CB / 8), 0);
-    std::vector<int32_t> icnt(Lpad + 1, 0);
-    for (int64_t e = 0; e < nedges; e++) {
-      int k = dep_k[e];
-      if (dep_pos[e] >= (k / CB) * CB) icnt[k + 1]++;
-    }
-    for (int r = 0; r < Lpad; r++) icnt[r + 1] += icnt[r];
-    std::vector<int32_t> ideps(icnt[Lpad]);
-    {
-      std::vector<int32_t> cur(icnt.begin(), icnt.end() - 1);
-      for (int64_t e = 0; e < nedges; e++) {
-        int k = dep_k[e];
-        if (dep_pos[e] >= (k / CB) * CB) ideps[cur[k]++] = dep_pos[e] - (k / CB) * CB;
-      }
-    }
-    std::vector<int32_t> rank(CB);
-    for (int q = 0; q < nchunks; q++) {
-      const int32_t* ord = order.data() + (size_t)q * CB;
-      for (int r = 0; r < CB; r++) rank[ord[r]] = r;
-      uint64_t* inv = (uint64_t*)(out->tinv.data() + (size_t)q * CB * (CB / 8));
-      for (int l = 0; l < CB; l++) {
-        int r = rank[l];
-        uint64_t* dst = inv + (size_t)r * cw;
-        dst[r >> 6] |= 1ull << (r & 63);
-        for (int32_t e = icnt[q * CB + l]; e < icnt[q * CB + l + 1]; e++) {
-          const uint64_t* src = inv + (size_t)rank[ideps[e]] * cw;
-          for (int w = 0; w < cw; w++) dst[w] ^= src[w];
-        }
-      }
-    }
-  }
-  pt.mark("tf_tinv");
-
-  // ---- cross edges bucketed by sorted receiving row ----
+  std::vector<int64_t> starts;
+  std::vector<int32_t> edep;
+  tri_preamble(out, Lpad, CB, nedges, dep_k, dep_pos, out->counts, starts,
+               edep, pt, "tf_sort", "tf_tinv");
   std::vector<int32_t>& counts = out->counts;
-  counts.assign(Lpad, 0);
-  const int32_t* pm = out->posmap.data();
-  for (int64_t e = 0; e < nedges; e++) {
-    int k = dep_k[e];
-    if (dep_pos[e] < (k / CB) * CB) counts[pm[k]]++;
-  }
-  std::vector<int64_t> starts(Lpad + 1, 0);
-  for (int r = 0; r < Lpad; r++) starts[r + 1] = starts[r] + counts[r];
-  std::vector<int32_t> edep(starts[Lpad]);
-  {
-    std::vector<int64_t> cur(starts.begin(), starts.end() - 1);
-    for (int64_t e = 0; e < nedges; e++) {
-      int k = dep_k[e];
-      if (dep_pos[e] >= (k / CB) * CB) continue;
-      edep[cur[pm[k]]++] = pm[dep_pos[e]];
-    }
-  }
   pt.mark("tf_bucket");
 
   // ---- validate + fill the fixed layout ----

@@ -286,6 +286,9 @@ def _count_signature(arr: dict) -> None:
         arr["piv_rows"].shape[0],
         tuple((s["tinv"].shape, s["bounds"].value, tuple(ix.shape for ix in s["ridx"])) for s in arr["tri"]),
         tuple(p.shape for p in arr["bsel"][0]),
+        # overflow (ix, sel) shapes are data-dependent in warm-up plans and
+        # are jit pytree leaves — omitting them over-reported program reuse
+        tuple((ix.shape, sel.shape) for ix, sel in arr["bsel"][1]),
         arr["wut_bits"].shape,
         None if arr["mhd_bits"] is None else arr["mhd_bits"].shape,
         arr["vinv_bits"].shape,

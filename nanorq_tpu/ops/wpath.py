@@ -262,11 +262,9 @@ def _w_gf2_jit(bits, rows, D, pallas: bool):
         from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
 
         kb = 512  # _quant_k pads the gathered row count to multiples of 512
-        if m <= _W_MB:
-            return gf2_matmul_pallas(W, y, kb=kb)
-        return jnp.concatenate(
-            [gf2_matmul_pallas(W[o : o + _W_MB], y, kb=kb) for o in range(0, m, _W_MB)], axis=0
-        )
+        # m is _pad_rows-quantized (pow2 / 4096-multiples), so _W_MB divides
+        # any m > _W_MB and the kernel's own m-grid tiles it in one dispatch
+        return gf2_matmul_pallas(W, y, kb=kb, mb=min(m, _W_MB))
     return gfmat.gf2_matmul(W, y)
 
 
@@ -322,11 +320,7 @@ def _w_matmul_jit(bits, D, binary: bool, pallas: bool, m: int, k: int, kb: int):
         if pallas and X.shape[1] % 128 == 0:
             from nanorq_tpu.ops.pallas_kernels import gf2_matmul_pallas
 
-            if m <= _W_MB:
-                return gf2_matmul_pallas(W, X)
-            return jnp.concatenate(
-                [gf2_matmul_pallas(W[o : o + _W_MB], X) for o in range(0, m, _W_MB)], axis=0
-            )
+            return gf2_matmul_pallas(W, X, mb=min(m, _W_MB))
         return gfmat.gf2_matmul(W, X)
     comp = _unpack_bits(bits)
     if pallas:

@@ -336,7 +336,6 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
     # Built from flat edge arrays (the per-pivot Python loop was the
     # compile-time hot spot at K' = 56403).  The native solver pre-extracts
     # both edge lists during its own CSR scan; the NumPy path below re-scans.
-    nchunks = Lpad // CB
     ut_edges = getattr(st, "ut_edges", None)
     if getattr(st, "tri_edges", None) is not None and ut_edges is not None:
         dep_k, dep_pos = st.tri_edges
@@ -369,8 +368,12 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
             if stt is not None and nheavy > stt.hpad:
                 stt = None  # zone overflowed: rebuild with a bigger one
             if stt is None:
-                # zone capacity ~1.5x the first-seen closed population
+                # zone capacity ~1.5x the first-seen closed population,
+                # rounded to whole chunks (the extended triangle must keep
+                # Lpad % CB == 0 for every caller-supplied CB, not just the
+                # default_cb values that happen to divide _quant outputs)
                 hp = _quant(nheavy + max(256, nheavy // 2)) if nheavy else 0
+                hp = -(-hp // CB) * CB
                 stt = _layout_cache[key] = _LayoutState((Lpad + hp) // CB, CB, hp)
             _layout_cache.move_to_end(key)
             while len(_layout_cache) > _LAYOUT_CAPACITY:
@@ -428,7 +431,6 @@ def compile_device(st: SolveState, CB: int | None = None, canonical: bool = Fals
                               np.broadcast_to(np.arange(CB), (Lpad // CB, CB)), axis=1)
             posmap = (np.arange(Lpad) // CB) * CB + rank.reshape(-1)
             degs = np.sort(deg_pos.reshape(-1, CB), axis=1)[:, ::-1].astype(np.int64)
-        nnz_row = np.count_nonzero(degs, axis=1)
         posfull = posmap[perm] if i else np.zeros(0, np.int64)
     else:
         posmap, tri = _tri_plan(Lpad, CB, dep_k, dep_pos)

@@ -88,6 +88,30 @@ def test_frozen_layout_replay_bit_exact():
         assert np.array_equal(C1, C2), f"pattern {s}: canonical replay diverged"
 
 
+def test_canonical_compile_at_nondividing_cb():
+    """The heavy-zone pad must round up to whole chunks: a CB that does not
+    divide the quantized pad (e.g. 1024 when hp would be 512) previously
+    broke the Lpad % CB == 0 invariant and crashed the warm-up reshape."""
+    K = 1800
+    P = params_init(K)
+    ov = max(1, int(0.05 * K))
+    rng = np.random.default_rng(31)
+    for CB in (1024, 640):
+        dsm.clear_layout_cache()
+        _, isis = _pattern(P, K, ov, 7000)
+        st = solve_state(P, cc._patched_rows(P, isis, ov), ov)
+        ds_c = dsm.compile_device(st, CB=CB, canonical=True)
+        assert ds_c.Lpad % CB == 0
+        ds_d = dsm.compile_device(st, CB=CB, canonical=False)
+        D = np.zeros((ds_c.M_pad, 64), np.uint8)
+        D[:K] = rng.integers(0, 256, (K, 64), dtype=np.uint8)
+        Dd = np.zeros((ds_d.M_pad, 64), np.uint8)
+        Dd[:K] = D[:K]
+        assert np.array_equal(
+            dsm.replay_structured_numpy(D, ds_c), dsm.replay_structured_numpy(Dd, ds_d)
+        ), f"CB={CB}: canonical replay diverged"
+
+
 def test_heavy_zone_order_is_topological():
     """The greedy zone order must keep every closed-subgraph dep backward."""
     K = 5000

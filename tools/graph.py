@@ -11,6 +11,7 @@ with a legend; values labeled directly on the framework bars.
 """
 
 import json
+import os
 import sys
 
 import matplotlib
@@ -19,10 +20,11 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-REF = {  # Mb/s, BASELINE.md (precalc encode, decode @6% loss + 5% overhead)
-    "100": (10200, 5800), "500": (8200, 6750), "1000": (7900, 6600),
-    "5000": (5900, 5000), "10000": (4050, 3550), "50000": (2100, 1950),
-}
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import REF_BASELINE  # single source of the reference numbers
+
+# Mb/s (precalc encode, decode @6% loss + 5% overhead)
+REF = {str(k): (v["precalc"], v["decode_oh5"]) for k, v in REF_BASELINE.items()}
 
 INK = "#33302e"
 MUTED = "#6e6862"

@@ -7,16 +7,17 @@ generation-locked to the captured artifact, never hand-edited.
 """
 
 import json
+import os
 import re
 import sys
 
-REF = {  # Mb/s, BASELINE.md
-    "100": (5450, 10200, 5600, 5800),
-    "500": (4750, 8200, 4800, 6750),
-    "1000": (4700, 7900, 4850, 6600),
-    "5000": (3750, 5900, 3900, 5000),
-    "10000": (2900, 4050, 3000, 3550),
-    "50000": (1500, 2100, 1550, 1950),
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import REF_BASELINE  # single source of the reference numbers
+
+# Mb/s (encode, precalc, decode, decode_oh5)
+REF = {
+    str(k): (v["encode"], v["precalc"], v["decode"], v["decode_oh5"])
+    for k, v in REF_BASELINE.items()
 }
 
 BEGIN = "<!-- BENCH_TABLE:BEGIN (tools/regen_docs.py) -->"
