@@ -17,7 +17,26 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nanorq-decode")
     ap.add_argument("filename", help="output file to reconstruct into")
     ap.add_argument("-i", "--input", default="data.rq")
+    ap.add_argument(
+        "--layout-cache",
+        default=None,
+        metavar="DIR",
+        help="persist the per-K' frozen decode layouts across invocations "
+        "(the decoder-side analog of the reference's nanorq_precalculate: "
+        "a warm layout means loss patterns reuse already-compiled replay "
+        "programs instead of re-walking the freeze warm-up)",
+    )
     args = ap.parse_args(argv)
+
+    lay_path = None
+    if args.layout_cache:
+        from nanorq_tpu.precode.device_schedule import load_layout_cache
+
+        os.makedirs(args.layout_cache, exist_ok=True)
+        lay_path = os.path.join(args.layout_cache, "decode_layouts.bin")
+        if os.path.exists(lay_path):
+            n = load_layout_cache(lay_path)
+            print(f"loaded {n} frozen decode layout(s) from {lay_path}", file=sys.stderr)
 
     with open(args.input, "rb") as ih:
         oti_common, oti_scheme = struct.unpack("<QI", ih.read(12))
@@ -47,6 +66,10 @@ def main(argv=None) -> int:
                         print(f"decode of sbn {sbn} failed.", file=sys.stderr)
             for sbn in range(dec.num_blocks):
                 dec.cleanup(sbn)
+    if lay_path is not None:
+        from nanorq_tpu.precode.device_schedule import save_layout_cache
+
+        save_layout_cache(lay_path)
     return 0 if ok else 1
 
 

@@ -26,6 +26,34 @@ def test_cli_file_roundtrip(tmp_path):
     assert out.read_bytes() == data
 
 
+def test_cli_layout_cache_persists(tmp_path, monkeypatch):
+    """--layout-cache round trip: the first decode saves the per-K' frozen
+    layouts, a second decode loads them (checkpoint/resume of the decoder's
+    compiled-program reuse state).  Forces the structured plan path — the
+    dense-W path has no layouts to persist."""
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.precode import device_schedule as dsm
+
+    monkeypatch.setattr(cc, "WPATH_MAX_KP", 0)
+    monkeypatch.setattr(cc, "WPATH_GF256_MAX_KP", 0)
+    dsm.clear_layout_cache()
+    rng = np.random.default_rng(3)
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(rng.integers(0, 256, 120_000, dtype=np.uint8)))
+    rq = tmp_path / "data.rq"
+    lay = tmp_path / "layouts"
+    assert encode_main([str(src), "256", "-o", str(rq), "--seed", "5"]) == 0
+    for run in range(2):
+        out = tmp_path / f"out{run}.bin"
+        if run:  # a cold process would load the saved layouts; simulate it
+            dsm.clear_layout_cache()
+        assert decode_main([str(out), "-i", str(rq), "--layout-cache", str(lay)]) == 0
+        assert out.read_bytes() == src.read_bytes()
+        assert (lay / "decode_layouts.bin").exists()
+    with dsm._layout_lock:
+        assert dsm._layout_cache, "second run should have loaded persisted layouts"
+
+
 def test_cli_wire_format(tmp_path):
     """data.rq layout: u64 LE oti_common, u32 LE oti_scheme, (u32 tag, T)*"""
     import struct
