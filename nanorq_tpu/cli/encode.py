@@ -29,12 +29,24 @@ def main(argv=None) -> int:
     ap.add_argument("--loss", type=float, default=6.0, help="simulated drop %%")
     ap.add_argument("--overhead", type=int, default=5, help="extra repair per block")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument(
+        "--schedule-cache",
+        default=None,
+        metavar="DIR",
+        help="persist the per-K' encoder schedule to disk (the reference's "
+        "nanorq_precalculate across processes: a warm start skips the "
+        "schedule solve entirely)",
+    )
     args = ap.parse_args(argv)
 
     rng = random.Random(args.seed)
     with FileIO(args.filename) as io:
         filesize = io.size()
         enc = Encoder(filesize, args.packet_size, Al=8)
+        if args.schedule_cache:
+            from nanorq_tpu.codec.cache import warm_encoder_cache
+
+            warm_encoder_cache(enc.P.Kp, args.schedule_cache)
         # object-level batched path: one device replay for all blocks, one
         # LT combine per K group (codec/batch.py)
         from nanorq_tpu.codec.batch import generate, load_object, repair_symbols, source_symbol

@@ -278,8 +278,12 @@ def warm_encoder_cache(Kp: int, cache_dir: str | None = None, CB: int | None = N
     path = os.path.join(cache_dir, f"enc_{Kp}_{'auto' if CB is None else CB}.sched")
     key = (Kp, CB)
     with _enc_lock:
-        if key in _enc_cache:
-            return _enc_cache[key]
+        hit = _enc_cache.get(key)
+    if hit is not None:
+        if not os.path.exists(path):  # in memory but not checkpointed yet
+            os.makedirs(cache_dir, exist_ok=True)
+            save_schedule(hit, path)
+        return hit
     if os.path.exists(path):
         try:
             ds = load_schedule(path)

@@ -54,6 +54,29 @@ def test_cli_layout_cache_persists(tmp_path, monkeypatch):
         assert dsm._layout_cache, "second run should have loaded persisted layouts"
 
 
+def test_cli_schedule_cache_persists(tmp_path):
+    """--schedule-cache: first encode writes the per-K' schedule checkpoint;
+    a cold second process loads it instead of re-solving."""
+    from nanorq_tpu.codec import cache as cc
+
+    rng = np.random.default_rng(11)
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(rng.integers(0, 256, 64_000, dtype=np.uint8)))
+    sched = tmp_path / "sched"
+    for run in range(2):
+        rq = tmp_path / f"data{run}.rq"
+        if run:  # simulate a cold process: drop the in-memory entry
+            with cc._enc_lock:
+                cc._enc_cache.clear()
+        assert encode_main(
+            [str(src), "512", "-o", str(rq), "--seed", "2", "--schedule-cache", str(sched)]
+        ) == 0
+        assert any(p.suffix == ".sched" for p in sched.iterdir())
+        out = tmp_path / f"out{run}.bin"
+        assert decode_main([str(out), "-i", str(rq)]) == 0
+        assert out.read_bytes() == src.read_bytes()
+
+
 def test_cli_wire_format(tmp_path):
     """data.rq layout: u64 LE oti_common, u32 LE oti_scheme, (u32 tag, T)*"""
     import struct
