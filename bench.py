@@ -208,7 +208,7 @@ def bench_decode_pipe(K, T, nblocks, iters):
     return 8 * F / best_pipe / 1e9, best_serial / best_pipe
 
 
-def bench_K(K, T, blocks, iters, rng):
+def bench_K(K, T, blocks, iters, rng, dec_blocks=0):
     import jax
     import jax.numpy as jnp
 
@@ -327,12 +327,23 @@ def bench_K(K, T, blocks, iters, rng):
     }
 
     # true decode payload: received sources + real repair symbols in the gap
-    # and overhead slots (generated from the encoder intermediates)
-    C_enc = _replay_jit(a, Dj, pall)
+    # and overhead slots (generated from the encoder intermediates).
+    # dec_blocks decouples the decode batch from the encode one: the dense-W
+    # path has no trisolve VMEM carry, so its best B can differ (--dec-blocks)
+    dec_blocks = dec_blocks or blocks
+    t_dec = dec_blocks * T
+    payload_dec = K * T * dec_blocks
+    if dec_blocks == blocks:
+        Dsrc, Dj_src = D, Dj
+    else:
+        Dsrc = np.zeros((ds.M_pad, t_dec), np.uint8)
+        Dsrc[:K] = rng.integers(0, 256, (K, t_dec), dtype=np.uint8)
+        Dj_src = jnp.asarray(Dsrc)
+    C_enc = _replay_jit(a, Dj_src, pall)
     plan_rep = lt_plan(rep_isis, P)
     rep_payloads = np.asarray(lt_combine(C_enc, plan_rep))[: rep_isis.size]
-    Dd = np.zeros((plan_dec.M_pad, t), np.uint8)
-    Dd[:K] = D[:K]
+    Dd = np.zeros((plan_dec.M_pad, t_dec), np.uint8)
+    Dd[:K] = Dsrc[:K]
     Dd[gaps] = rep_payloads[: gaps.size]
     Dd[P.Kp : P.Kp + ov] = rep_payloads[gaps.size :]
     Dd[K : P.Kp] = 0  # padding symbols
@@ -357,7 +368,7 @@ def bench_K(K, T, blocks, iters, rng):
     # symbols must equal the dropped source symbols
     if gaps.size:
         rec = np.asarray(dec_recover(Ddj))[: gaps.size]
-        assert np.array_equal(rec, D[gaps]), "decode verification FAILED"
+        assert np.array_equal(rec, Dsrc[gaps]), "decode verification FAILED"
         log(f"K={K}: decode byte-equality verified over {gaps.size} recovered symbols"
             + (" (dense-W path)" if wpath else " (structured replay)"))
 
@@ -378,13 +389,15 @@ def bench_K(K, T, blocks, iters, rng):
     fresh_s = fresh_ms / 1e3 + (bytes256 / payload) * encfull_per
 
     gbps = lambda per: 8 * payload / per / 1e9
+    # per-byte harmonic aggregate (reduces to the old formula at equal batch)
+    agg = 8 / (encfull_per / payload + dec_per / payload_dec) / 1e9
     return {
         "encode": gbps(encfull_per),
         "encode_fresh": 8 * bytes256 / fresh_s / 1e9,
         "encode_replay": gbps(enc_per),
         "decode0": dec0_gbps,
-        "decode": gbps(dec_per),
-        "agg": 8 * payload / (encfull_per + dec_per) / 1e9,
+        "decode": 8 * payload_dec / dec_per / 1e9,
+        "agg": agg,
         "solve_ms": solve_ms,
         "fresh_ms": fresh_ms,
         "dec_solve_ms": dec_solve_ms,
@@ -398,6 +411,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--T", type=int, default=1280)
     ap.add_argument("--blocks", type=int, default=0, help="0 = per-K tuned default")
+    ap.add_argument(
+        "--dec-blocks", type=int, default=0,
+        help="decode batch override (0 = same as --blocks); the dense-W path "
+        "has no trisolve carry so its best B can differ",
+    )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
         "--ks", type=int, nargs="*", default=[100, 500, 1000, 5000, 10000, 50000],
@@ -450,7 +468,8 @@ def main():
         while blocks & (blocks - 1):  # power-of-two batches measured fastest
             blocks -= 1
         iters = args.iters if K <= 5000 else max(4, args.iters // 4)
-        r = bench_K(K, args.T, blocks, iters, rng)
+        dec_blocks = min(args.dec_blocks, max(1, (256 << 20) // (K * args.T))) if args.dec_blocks else 0
+        r = bench_K(K, args.T, blocks, iters, rng, dec_blocks=dec_blocks)
         pipe_ks = () if args.no_pipe else ((5000, 10000, 50000) if args.pipe else (5000, 10000))
         if K in pipe_ks:  # multi-block solve hiding (repair_all pipeline)
             # speedup-only metric: the ratio isolates the threaded solve +
