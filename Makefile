@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip graph docs
+.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip graph docs soak
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -27,6 +27,11 @@ clean-native:
 # end-to-end file round trip through the CLIs (reference `make test` analog)
 roundtrip:
 	$(PY) -m pytest tests/test_cli.py -q
+
+# randomized end-to-end soak beyond the pytest grid (CPU; minutes as arg)
+SOAK_MINUTES ?= 30
+soak:
+	$(PY) -u tools/longfuzz.py $(SOAK_MINUTES)
 
 # regenerate graph.png + doc tables from the latest driver-captured bench JSON
 BENCH_JSON ?= $(lastword $(sort $(wildcard BENCH_r*.json)))
