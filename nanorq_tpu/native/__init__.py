@@ -11,14 +11,12 @@ import hashlib
 import os
 import subprocess
 import threading
+import warnings
 
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "solver.cc")
-_BUILD = os.path.join(_HERE, "_build")
-_LIB = os.path.join(_BUILD, "libnanorq_host.so")
-_STAMP = _LIB + ".srchash"  # content hash of the source the .so was built from
 
 _lock = threading.Lock()
 _lib = None
@@ -30,30 +28,54 @@ def _src_hash() -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
-def _build(srchash: str) -> bool:
-    os.makedirs(_BUILD, exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _LIB + ".tmp", _SRC,
-    ]
-    r = subprocess.run(cmd, capture_output=True, text=True)
-    if r.returncode != 0:
-        return False
-    os.replace(_LIB + ".tmp", _LIB)
-    # stamp written after a successful build: the rebuild decision is keyed
-    # on source *content*, never mtimes (git does not preserve mtimes, and a
-    # stale -march=native blob from another host could SIGILL)
-    with open(_STAMP + ".tmp", "w") as f:
-        f.write(srchash)
-    os.replace(_STAMP + ".tmp", _STAMP)
-    return True
+def _build_dirs(srchash: str):
+    """Candidate build directories, preferred first: the in-package dir
+    (fast, shared across users of a writable checkout), then a per-user
+    cache keyed on source hash (read-only / system installs — the package
+    dir under site-packages is often not writable)."""
+    yield os.path.join(_HERE, "_build")
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    yield os.path.join(cache_root, "nanorq_tpu", srchash[:16])
 
 
-def _stale() -> bool:
-    if not os.path.exists(_LIB) or not os.path.exists(_STAMP):
+def _lib_path(build_dir: str) -> str:
+    return os.path.join(build_dir, "libnanorq_host.so")
+
+
+def _build(build_dir: str, srchash: str) -> bool:
+    lib_path = _lib_path(build_dir)
+    try:
+        os.makedirs(build_dir, exist_ok=True)
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            "-o", lib_path + ".tmp", _SRC,
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            return False
+        os.replace(lib_path + ".tmp", lib_path)
+        # stamp written after a successful build: the rebuild decision is
+        # keyed on source *content*, never mtimes (git does not preserve
+        # mtimes, and a stale -march=native blob from another host could
+        # SIGILL)
+        stamp = lib_path + ".srchash"
+        with open(stamp + ".tmp", "w") as f:
+            f.write(srchash)
+        os.replace(stamp + ".tmp", stamp)
         return True
-    with open(_STAMP) as f:
-        return f.read().strip() != _src_hash()
+    except OSError:
+        return False  # unwritable location: the caller tries the next one
+
+
+def _fresh(build_dir: str, srchash: str) -> bool:
+    lib_path = _lib_path(build_dir)
+    stamp = lib_path + ".srchash"
+    if not os.path.exists(lib_path) or not os.path.exists(stamp):
+        return False
+    with open(stamp) as f:
+        return f.read().strip() == srchash
 
 
 def get_lib():
@@ -64,10 +86,22 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if _stale():
-                if not _build(_src_hash()):
-                    return None
-            lib = ctypes.CDLL(_LIB)
+            srchash = _src_hash()
+            lib_file = None
+            for bd in _build_dirs(srchash):
+                if _fresh(bd, srchash) or _build(bd, srchash):
+                    lib_file = _lib_path(bd)
+                    break
+            if lib_file is None:
+                warnings.warn(
+                    "nanorq_tpu: native host solver build failed (no g++ or no "
+                    "writable build dir); falling back to the pure-Python solver "
+                    "— per-pattern decode solves will be 10-50x slower",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return None
+            lib = ctypes.CDLL(lib_file)
             i32p = ctypes.POINTER(ctypes.c_int32)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.nrq_solve.restype = ctypes.c_void_p
