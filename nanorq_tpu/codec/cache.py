@@ -11,7 +11,6 @@ solved schedules across restarts (SURVEY.md s5 checkpoint/resume).
 
 import os
 import pickle
-from collections import OrderedDict
 from threading import Lock
 
 import numpy as np
@@ -20,13 +19,16 @@ from nanorq_tpu.precode.device_schedule import DeviceSchedule, compile_device
 from nanorq_tpu.precode.matrix import binary_rows
 from nanorq_tpu.precode.solver import solve_state
 from nanorq_tpu.rfc.params import Params, params_init
+from nanorq_tpu.utils.lru import ByteLRU
 
 _enc_lock = Lock()
 _enc_cache: dict[tuple[int, int], DeviceSchedule] = {}
 
-_dec_lock = Lock()
-_dec_cache: OrderedDict[bytes, DeviceSchedule | None] = OrderedDict()
-_DEC_CAPACITY = 128
+# decoder plans are per loss pattern and scale with K' (a structured
+# K'=50511 plan is tens of MB); the cache is BYTE-budgeted, not
+# entry-counted, so steady large-K' streams cannot pin unbounded host RAM
+_DEC_BUDGET = int(float(os.environ.get("NANORQ_DEC_CACHE_MB", 256)) * (1 << 20))
+_dec_cache = ByteLRU(_DEC_BUDGET, "dec_cache")
 
 
 def encoder_schedule(Kp: int, CB: int | None = None) -> DeviceSchedule:
@@ -54,8 +56,7 @@ def encoder_schedule(Kp: int, CB: int | None = None) -> DeviceSchedule:
 def clear_decoder_cache() -> None:
     """Drop all cached per-pattern decoder schedules (benchmarks use this to
     force fresh solves; production code never needs it)."""
-    with _dec_lock:
-        _dec_cache.clear()
+    _dec_cache.clear()
 
 
 def clear_encoder_cache() -> None:
@@ -184,11 +185,10 @@ def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
     from nanorq_tpu.utils import stats
 
     key = b"P|%d|%d|" % (P.Kp, overhead) + np.ascontiguousarray(isis, np.uint32).tobytes()
-    with _dec_lock:
-        if key in _dec_cache:
-            _dec_cache.move_to_end(key)
-            stats.count("dec_schedule_cache_hit")
-            return _dec_cache[key]
+    hit, cached = _dec_cache.get(key)
+    if hit:
+        stats.count("dec_schedule_cache_hit")
+        return cached
     with stats.timer("dec_solve"):
         st = solve_state(P, _patched_rows(P, isis, overhead), overhead)
     plan = None
@@ -215,10 +215,7 @@ def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
             plan = compile_device(st, canonical=True)
     if plan is None:
         stats.count("decode_rank_deficient")
-    with _dec_lock:
-        _dec_cache[key] = plan
-        while len(_dec_cache) > _DEC_CAPACITY:
-            _dec_cache.popitem(last=False)
+    _dec_cache.put(key, plan)
     return plan
 
 
@@ -231,20 +228,16 @@ def decoder_schedule(P: Params, isis: np.ndarray, overhead: int, CB: int | None 
     from nanorq_tpu.utils import stats
 
     key = b"%d|%d|%d|" % (P.Kp, overhead, CB or 0) + np.ascontiguousarray(isis, np.uint32).tobytes()
-    with _dec_lock:
-        if key in _dec_cache:
-            _dec_cache.move_to_end(key)
-            stats.count("dec_schedule_cache_hit")
-            return _dec_cache[key]
+    hit, cached = _dec_cache.get(key)
+    if hit:
+        stats.count("dec_schedule_cache_hit")
+        return cached
     with stats.timer("dec_solve"):
         st = solve_state(P, _patched_rows(P, isis, overhead), overhead)
     ds = None if st is None else compile_device(st, CB=CB, canonical=True)
     if ds is None:
         stats.count("decode_rank_deficient")
-    with _dec_lock:
-        _dec_cache[key] = ds
-        while len(_dec_cache) > _DEC_CAPACITY:
-            _dec_cache.popitem(last=False)
+    _dec_cache.put(key, ds)
     return ds
 
 

@@ -8,10 +8,9 @@ plus one-hot-placed overflow gathers for the heavy tail — all wide VPU/DMA
 work with no sequential chain.
 """
 
-from collections import OrderedDict
+import os
 from dataclasses import dataclass
 from functools import partial
-from threading import Lock
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +19,7 @@ import numpy as np
 
 from nanorq_tpu.rfc.params import Params
 from nanorq_tpu.rfc.tuples import lt_indices
+from nanorq_tpu.utils.lru import ByteLRU
 
 
 def _pad_rows(n: int) -> int:
@@ -48,9 +48,11 @@ class LTPlan:
     sel: object | None = None  # jnp int32 [n_pad] into concat(classes)+zero
 
 
-_plan_lock = Lock()
-_plan_cache: OrderedDict[bytes, LTPlan] = OrderedDict()
-_PLAN_CAPACITY = 128
+# LT plans hold DEVICE-resident index tensors (classes/sel/plan arrays), so
+# the cache is byte-budgeted — deep_nbytes sees jax arrays' nbytes, which for
+# these int32/uint16 tensors equals their HBM footprint
+_PLAN_BUDGET = int(float(os.environ.get("NANORQ_LT_CACHE_MB", 128)) * (1 << 20))
+_plan_cache = ByteLRU(_PLAN_BUDGET, "lt_plan_cache")
 
 
 def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "auto") -> LTPlan:
@@ -79,15 +81,12 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "auto") -
         full_window = isis.size == P.Kp and np.array_equal(isis, np.arange(P.Kp, dtype=np.uint32))
         mode = "sorted" if (full_window or isis.size >= 2048) else "flat"
     key = b"%d|%d|%s|" % (P.Kp, w_small, mode.encode()) + isis.tobytes()
-    with _plan_lock:
-        hit = _plan_cache.get(key)
-        if hit is not None:
-            _plan_cache.move_to_end(key)
-    if hit is not None:
+    hit, cached = _plan_cache.get(key)
+    if hit:
         from nanorq_tpu.utils import stats
 
         stats.count("lt_plan_cache_hit")
-        return hit
+        return cached
     n = isis.shape[0]
     n_pad = _pad_rows(n)
     idx, valid = lt_indices(isis, P)
@@ -100,10 +99,7 @@ def lt_plan(isis: np.ndarray, P: Params, w_small: int = 8, mode: str = "auto") -
             sentinel=P.L, w_small=w_small,
         )
         plan = LTPlan(n=n, n_pad=n_pad, L=P.L, plan=_plan_arrays(gp))
-    with _plan_lock:
-        _plan_cache[key] = plan
-        while len(_plan_cache) > _PLAN_CAPACITY:
-            _plan_cache.popitem(last=False)
+    _plan_cache.put(key, plan)
     return plan
 
 
