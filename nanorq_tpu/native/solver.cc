@@ -158,19 +158,24 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
 
   pt.mark("adj");
   // ---- phase 1: peel (greedy degree-1/2 selection, inactivation) ----
-  std::vector<int32_t> nnzV(NB, 0);
+  // Per row, ONE 8-byte record: nv = nnz over active V columns (-1 once
+  // used; int16 — LDPC rows reach ~200) and xs = XOR of the remaining
+  // active V column ids.  remove_col touches exactly one cache line per
+  // incident row, and a degree-1 row's surviving column IS xs — no row
+  // rescan.  Only degree-2 picks scan their row (for the c1/c2 split).
+  struct RowSt { int32_t xs; int16_t nv; int16_t _pad; };
+  std::vector<RowSt> rs(NB, RowSt{0, 0, 0});
   for (int r = 0; r < NB; r++)
     for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++)
-      if (row_cols[e] < W) nnzV[r]++;
+      if (row_cols[e] < W) { rs[r].nv++; rs[r].xs ^= row_cols[e]; }
   std::vector<uint8_t> col_active(L, 0);
   for (int c = 0; c < W; c++) col_active[c] = 1;
-  std::vector<uint8_t> row_used(NB, 0);
   std::vector<int32_t> bucket1, bucket2;
   bucket1.reserve(NB);
   bucket2.reserve(NB);
   for (int r = 0; r < NB; r++) {
-    if (nnzV[r] == 1) bucket1.push_back(r);
-    else if (nnzV[r] == 2) bucket2.push_back(r);
+    if (rs[r].nv == 1) bucket1.push_back(r);
+    else if (rs[r].nv == 2) bucket2.push_back(r);
   }
   int n_active = W;
   std::vector<int32_t>& pr = out->piv_rows;
@@ -181,38 +186,45 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     col_active[c] = 0;
     n_active--;
     for (int32_t e = col_ptr[c]; e < col_ptr[c + 1]; e++) {
-      int r = col_rows[e];
-      if (row_used[r]) continue;  // nnzV of used rows is never read again
-      int nz = --nnzV[r];
-      if (nz == 1) bucket1.push_back(r);
-      else if (nz == 2) bucket2.push_back(r);
+      RowSt& q = rs[col_rows[e]];
+      if (q.nv < 0) continue;  // used rows are never read again
+      q.xs ^= c;
+      int16_t z = --q.nv;
+      if (z == 1) bucket1.push_back(col_rows[e]);
+      else if (z == 2) bucket2.push_back(col_rows[e]);
     }
   };
 
   while (n_active > 0) {
     int r = -1;
+    bool deg1 = true;
     while (!bucket1.empty()) {
       int cand = bucket1.back();
       bucket1.pop_back();
-      if (!row_used[cand] && nnzV[cand] == 1) { r = cand; break; }
+      if (rs[cand].nv == 1) { r = cand; break; }
     }
     if (r < 0) {
+      deg1 = false;
       while (!bucket2.empty()) {
         int cand = bucket2.back();
         bucket2.pop_back();
-        if (!row_used[cand] && nnzV[cand] == 2) { r = cand; break; }
+        if (rs[cand].nv == 2) { r = cand; break; }
       }
     }
     if (r < 0) break;
     int c1 = -1, c2 = -1;
-    for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
-      int c = row_cols[e];
-      if (col_active[c]) {
-        if (c1 < 0) c1 = c;
-        else { c2 = c; break; }
+    if (deg1) {
+      c1 = rs[r].xs;  // the single surviving active column
+    } else {
+      for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+        int c = row_cols[e];
+        if (col_active[c]) {
+          if (c1 < 0) c1 = c;
+          else { c2 = c; break; }
+        }
       }
     }
-    row_used[r] = 1;
+    rs[r].nv = -1;
     pr.push_back(r);
     pc.push_back(c1);
     remove_col(c1);
@@ -249,24 +261,39 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     std::vector<int32_t> colcode(L);
     for (int j = 0; j < u; j++) colcode[uc[j]] = -1 - j;
     for (int k = 0; k < i; k++) colcode[pc[k]] = k;
-    out->tri_ek.reserve(nnz / 2);
-    out->tri_ep.reserve(nnz / 2);
-    out->ut_ek.reserve(nnz / 4);
-    out->ut_uc.reserve(nnz / 4);
-    for (int k = 0; k < i; k++) {
-      int r = pr[k];
+    // Scan rows in CSR order (sequential reads; the pivot-order walk was
+    // all cache misses), counting-sort the edges into ascending-k order —
+    // nrq_heavy_closure requires tri_ek ascending; within one k any dep
+    // order is valid (deps of a row are a set, application is XOR).
+    std::vector<int32_t> tcnt((size_t)i + 1, 0), ucnt((size_t)i + 1, 0);
+    for (int r = 0; r < NB; r++) {
+      int k = pos_of_row[r];
+      if (k == INT32_MAX) continue;
+      for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+        int v = colcode[row_cols[e]];
+        if (v >= 0) { if (v < k) tcnt[k + 1]++; }
+        else ucnt[k + 1]++;
+      }
+    }
+    for (int k = 0; k < i; k++) { tcnt[k + 1] += tcnt[k]; ucnt[k + 1] += ucnt[k]; }
+    out->tri_ek.resize(tcnt[i]);
+    out->tri_ep.resize(tcnt[i]);
+    out->ut_ek.resize(ucnt[i]);
+    out->ut_uc.resize(ucnt[i]);
+    for (int r = 0; r < NB; r++) {
+      int k = pos_of_row[r];
+      if (k == INT32_MAX) continue;
+      int32_t tq = tcnt[k], uq = ucnt[k];
       for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
         int v = colcode[row_cols[e]];
         if (v >= 0) {
-          if (v < k) {
-            out->tri_ek.push_back(k);
-            out->tri_ep.push_back(v);
-          }
+          if (v < k) { out->tri_ek[tq] = k; out->tri_ep[tq] = v; tq++; }
         } else {
-          out->ut_ek.push_back(k);
-          out->ut_uc.push_back(-1 - v);
+          out->ut_ek[uq] = k; out->ut_uc[uq] = -1 - v; uq++;
         }
       }
+      tcnt[k] = tq;
+      ucnt[k] = uq;
     }
   }
 
@@ -314,45 +341,72 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     int p = 0;
     for (int k = 0; k < i; k++) order[p++] = pr[k];
     for (int r = 0; r < NB; r++)
-      if (!row_used[r]) order[p++] = r;
+      if (rs[r].nv >= 0) order[p++] = r;
     for (int h = 0; h < H; h++) order[p++] = NB + h;
   }
 
   int rank = i;
   const int nwin = M - H - i;  // dense-window candidate rows (non-pivot binary)
-  std::vector<uint64_t> Cw;    // compact GE workspace; row s <-> order[i+s]
+  std::vector<uint64_t> Cw;    // compact GE workspace, rows NEVER swapped
+  std::vector<int32_t> winslot;  // order slot p (i <= p < M-H) -> Cw row
   if (M - H >= L && nwin > 0) {
-    // GE runs on a CONTIGUOUS copy of the window rows: the candidate rows
-    // are scattered through Ub by order[], and the per-pivot scan+xor over
-    // them is the phase's whole cost — compaction turns ~u*nwin scattered
-    // cache misses into streaming reads (and leaves Ub pristine for the
-    // Schur snapshot).  Words below the pivot column are already reduced
-    // on both sides, so the xor starts at word jc/64.
+    // GE runs on a CONTIGUOUS copy of the window rows (the candidates are
+    // scattered through Ub by order[]; compaction turns the elimination
+    // into streaming xors and leaves Ub pristine for the Schur snapshot).
+    // Rows are bucketed by LEADING bit: every row with bit jc set has
+    // leading bit exactly jc by the elimination invariant, so pivot search
+    // is bucket[jc] — the per-column forward scan over all window rows
+    // (O(u * nwin) strided touches) was this phase's dominant cost.
     Cw.resize((size_t)nwin * uw);
     for (int s = 0; s < nwin; s++)
       memcpy(Cw.data() + (size_t)s * uw, Ubr(order[i + s]), (size_t)uw * 8);
     auto Cr = [&](int s) { return Cw.data() + (size_t)s * uw; };
-    for (int p = i; p < L; p++) {
-      const int jc = p - i;
+    std::vector<int32_t> bhead(u, -1), bnext(nwin, -1);
+    auto push = [&](int s) {
+      const uint64_t* row = Cr(s);
+      for (int w = 0; w < uw; w++)
+        if (row[w]) {
+          int lb = w * 64 + __builtin_ctzll(row[w]);
+          bnext[s] = bhead[lb];
+          bhead[lb] = s;
+          return;
+        }
+      // zero row: drops out of every bucket (stays a leftover)
+    };
+    for (int s = nwin - 1; s >= 0; s--) push(s);
+    std::vector<int32_t> piv_of_col(u, -1);
+    for (int jc = 0; jc < u; jc++) {
+      int q = bhead[jc];
+      if (q < 0) break;  // no row has bit jc -> GF(2) rank ends here
+      piv_of_col[jc] = q;
+      const uint64_t* piv = Cr(q);
       const int w0 = jc >> 6;
-      int q = -1;
-      for (int s = jc; s < nwin; s++)
-        if (bit(Cr(s), jc)) { q = s; break; }
-      if (q < 0) break;
-      if (q != jc) {
-        std::swap(order[p], order[i + q]);
-        uint64_t* a = Cr(jc);
-        uint64_t* b = Cr(q);
-        for (int w = w0; w < uw; w++) std::swap(a[w], b[w]);
-      }
-      const uint64_t* piv = Cr(jc);
-      for (int s = jc + 1; s < nwin; s++) {
+      for (int s = bnext[q]; s >= 0;) {
+        int nx = bnext[s];
         uint64_t* rrow = Cr(s);
-        if (bit(rrow, jc))
-          for (int w = w0; w < uw; w++) rrow[w] ^= piv[w];
+        for (int w = w0; w < uw; w++) rrow[w] ^= piv[w];
+        push(s);  // re-bucket at its new (strictly later) leading bit
+        s = nx;
       }
-      rank = p + 1;
+      rank = i + jc + 1;
     }
+    // rebuild order[i..M-H): solved pivots in column order, then leftovers;
+    // winslot keeps the order-slot -> Cw-row map for the byte views below
+    std::vector<int32_t> neworder;
+    neworder.reserve(nwin);
+    winslot.reserve(nwin);
+    std::vector<uint8_t> taken(nwin, 0);
+    for (int jc = 0; jc < u && piv_of_col[jc] >= 0; jc++) {
+      neworder.push_back(order[i + piv_of_col[jc]]);
+      winslot.push_back(piv_of_col[jc]);
+      taken[piv_of_col[jc]] = 1;
+    }
+    for (int s = 0; s < nwin; s++)
+      if (!taken[s]) {
+        neworder.push_back(order[i + s]);
+        winslot.push_back(s);
+      }
+    for (int s = 0; s < nwin; s++) order[i + s] = neworder[s];
   }
   pt.mark("gf2dense");
 
@@ -374,7 +428,7 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
       int r = order[p];
       const uint64_t* pre = Ub.data() + (size_t)r * uw;
       const uint64_t* post =
-          (p < M - H && !Cw.empty()) ? Cw.data() + (size_t)(p - i) * uw : pre;
+          (p < M - H && !Cw.empty()) ? Cw.data() + (size_t)winslot[p - i] * uw : pre;
       uint8_t* drow = U.data() + (size_t)r * u;
       uint8_t* prow = U_pre.data() + (size_t)r * u;
       for (int j = 0; j < u; j++) {
@@ -456,8 +510,45 @@ void* nrq_solve(int32_t NB, int32_t L, int32_t W, int32_t S, int32_t H,
     }
   }
 
-  // invert [u, u] over GF(256) by Gauss-Jordan
-  {
+  // invert [u, u]: GF(2) is a subfield, so a binary pivot block (no HDPC
+  // pivots taken) has a binary inverse — bit-packed Gauss-Jordan on words,
+  // ~8x the byte path; GF(256) byte Gauss-Jordan otherwise.
+  if (!out->hdpc_used) {
+    std::vector<uint64_t> Ab((size_t)u * uw, 0), Vb((size_t)u * uw, 0);
+    for (int r = 0; r < u; r++) {
+      // the pivot-block rows are already bit-packed in the pristine Ub
+      memcpy(Ab.data() + (size_t)r * uw, Ub.data() + (size_t)order[i + r] * uw,
+             (size_t)uw * 8);
+      Vb[(size_t)r * uw + (r >> 6)] = 1ull << (r & 63);
+    }
+    for (int c = 0; c < u; c++) {
+      int piv = -1;
+      for (int r = c; r < u; r++)
+        if ((Ab[(size_t)r * uw + (c >> 6)] >> (c & 63)) & 1) { piv = r; break; }
+      if (piv < 0) { out->status = 1; return out; }  // cannot happen if solve ok
+      if (piv != c)
+        for (int w = 0; w < uw; w++) {
+          std::swap(Ab[(size_t)c * uw + w], Ab[(size_t)piv * uw + w]);
+          std::swap(Vb[(size_t)c * uw + w], Vb[(size_t)piv * uw + w]);
+        }
+      const uint64_t* pa = Ab.data() + (size_t)c * uw;
+      const uint64_t* pv = Vb.data() + (size_t)c * uw;
+      for (int r = 0; r < u; r++) {
+        if (r == c) continue;
+        if ((Ab[(size_t)r * uw + (c >> 6)] >> (c & 63)) & 1) {
+          uint64_t* ra = Ab.data() + (size_t)r * uw;
+          uint64_t* rv = Vb.data() + (size_t)r * uw;
+          for (int w = 0; w < uw; w++) { ra[w] ^= pa[w]; rv[w] ^= pv[w]; }
+        }
+      }
+    }
+    out->vinv.assign((size_t)u * u, 0);
+    for (int r = 0; r < u; r++) {
+      const uint64_t* row = Vb.data() + (size_t)r * uw;
+      uint8_t* dst = out->vinv.data() + (size_t)r * u;
+      for (int j = 0; j < u; j++) dst[j] = (uint8_t)((row[j >> 6] >> (j & 63)) & 1);
+    }
+  } else {
     std::vector<uint8_t> A(out->uschur_sel);
     std::vector<uint8_t>& V = out->vinv;
     V.assign((size_t)u * u, 0);
