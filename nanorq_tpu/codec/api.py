@@ -250,6 +250,42 @@ class Encoder(_CodecBase):
         return self.encode_batch(sbn, np.array([esi]), io)[0]
 
 
+class _BatchResult:
+    """Shared lazy handle on one stacked device result [nb, m, T]: the first
+    host access fetches the WHOLE batch in one transfer; every member view
+    slices that host copy."""
+
+    __slots__ = ("dev", "_host")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._host = None
+
+    def host(self):
+        if self._host is None:
+            self._host = np.asarray(self.dev)
+        return self._host
+
+
+class _BatchView:
+    """One block's [m, T] slice of a _BatchResult.  np.asarray() resolves
+    through the batch's single fetch; item access stays a lazy device slice
+    (benchmarks sync on view[0, :4] without pulling payloads)."""
+
+    __slots__ = ("res", "j")
+
+    def __init__(self, res: _BatchResult, j: int):
+        self.res = res
+        self.j = j
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.res.host()[self.j]
+        return a if dtype is None else a.astype(dtype)
+
+    def __getitem__(self, k):
+        return self.res.dev[self.j][k]
+
+
 class Decoder(_CodecBase):
     """RaptorQ decoder (reference nanorq_decoder_new / add_symbol / repair)."""
 
@@ -487,6 +523,64 @@ class Decoder(_CodecBase):
             D[slot] = payload
         return D
 
+    def _repair_launch_batch(self, items, mesh=None):
+        """ONE stacked dispatch for same-(kind, M_pad) WSchedule blocks.
+
+        items: [(sbn, gaps, overhead, plan, D_host|None)].  Returns
+        [(sbn, gaps, view)] where each view lazily slices the shared device
+        result (np.asarray on any view fetches the whole batch once).  A
+        fresh-pattern decode at small K' is launch-overhead-bound —
+        stacking turns nb uploads/dispatches/fetches into one of each —
+        and the stacked block dim is the mesh-sharding axis (per-SBN
+        independence, reference lib/nanorq.c:57).
+        """
+        import jax
+
+        from nanorq_tpu.ops.wpath import (
+            _w_gf2_batch_jit,
+            _w_gf256_batch_jit,
+            w_stack_gf2,
+            w_stack_gf256,
+        )
+
+        from nanorq_tpu.utils import stats
+
+        stats.count("repair_batch_launch")
+        stats.count("repair_batch_blocks", len(items))
+        plans = [p for _, _, _, p, _ in items]
+        M_pad = plans[0].M_pad
+        T = self.scheme.T
+        nb = len(items)
+        nb_pad = 1 << (nb - 1).bit_length() if nb > 1 else 1
+        if mesh is not None:
+            nb_pad = max(nb_pad, int(np.prod(mesh.devices.shape)))
+        D = np.zeros((nb_pad, M_pad, T), np.uint8)
+        for j, (sbn, gaps, ov, _p, Dh) in enumerate(items):
+            D[j] = Dh if Dh is not None else self._repair_D(sbn, gaps, ov, M_pad)
+
+        def bpad(a, fill=0):
+            if a.shape[0] == nb_pad:
+                return a
+            out = np.full((nb_pad,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        if plans[0].Wbits is not None:
+            bits, rows = w_stack_gf2(plans)
+            args = (bpad(bits), bpad(rows, M_pad - 1), D)
+            fn = _w_gf2_batch_jit
+        else:
+            args = (bpad(w_stack_gf256(plans)), D)
+            fn = _w_gf256_batch_jit
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            args = tuple(jax.device_put(a, sh) for a in args)
+        res = _BatchResult(fn(*args))  # [nb_pad, m, T], async
+        return [(it[0], it[1], _BatchView(res, j)) for j, it in enumerate(items)]
+
     def _repair_launch(self, sbn: int, gaps: np.ndarray, overhead: int, ds, D_dev=None):
         """Dispatch the block's device recovery (async).
 
@@ -534,12 +628,21 @@ class Decoder(_CodecBase):
         sym = self._repair_launch(sbn, gaps, overhead, ds)
         return self._repair_finish(io, sbn, gaps, sym)
 
-    def _repair_pipeline(self, max_workers: int | None = None):
+    # WSchedule blocks accumulate into stacked dispatches of up to this many
+    # blocks (pow2-padded shapes bound compile diversity; chunking keeps
+    # device work flowing while later solves run)
+    _BATCH_FLUSH = 32
+
+    def _repair_pipeline(self, max_workers: int | None = None, mesh=None):
         """Solve + launch every gap block without draining results.
 
         Returns (ok_so_far, launched) where launched is a list of
         (sbn, gaps, device_symbols) with the device work already dispatched
         (JAX async dispatch); callers drain with _repair_finish.
+
+        W-plan blocks (the small/mid-K' dense path) launch as STACKED
+        batches — one upload/dispatch per _BATCH_FLUSH blocks, sharded over
+        `mesh`'s first axis when given; structured plans launch per block.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -561,6 +664,19 @@ class Decoder(_CodecBase):
         # a 4-wide pool ran 0.9x sequential), and pushing uploads/dispatches
         # into the workers convoys on the JAX client lock (0.4-0.7x serial).
         launched = []
+        pend: dict[tuple, list] = {}
+
+        def flush(key=None):
+            for k in [key] if key is not None else list(pend):
+                items = pend.pop(k, [])
+                if not items:
+                    continue
+                if len(items) == 1 and mesh is None:
+                    s, g, ov, ds, Dh = items[0]
+                    launched.append((s, g, self._repair_launch(s, g, ov, ds, Dh)))
+                else:
+                    launched.extend(self._repair_launch_batch(items, mesh))
+
         with ThreadPoolExecutor(max_workers=max_workers or 1) as ex:
             futs = [
                 (s, g, ov, ex.submit(_cache.decoder_plan, self.P, isis, ov))
@@ -574,18 +690,28 @@ class Decoder(_CodecBase):
                     stats.count("repair_block_failed")
                     ok = False
                     continue
-                launched.append((sbn, gaps, self._repair_launch(sbn, gaps, ov, ds)))
+                if isinstance(ds, _cache.WSchedule):
+                    key = (ds.Wbits is not None, ds.M_pad)
+                    pend.setdefault(key, []).append((sbn, gaps, ov, ds, None))
+                    if len(pend[key]) >= self._BATCH_FLUSH:
+                        flush(key)
+                else:
+                    launched.append((sbn, gaps, self._repair_launch(sbn, gaps, ov, ds)))
+            flush()
         return ok, launched
 
-    def repair_all(self, io: IOContext, max_workers: int | None = None) -> bool:
+    def repair_all(self, io: IOContext, max_workers: int | None = None, mesh=None) -> bool:
         """Repair every block, pipelining the three stages (SURVEY.md §7
         hard-part 5): per-pattern host solves run in a thread pool (the
         native solver releases the GIL), device replays dispatch as each
         solve lands (JAX async dispatch queues them), and result fetches +
         write-through drain last — so solve(N+1) overlaps replay(N).
+        W-plan blocks dispatch as stacked batches; pass a
+        jax.sharding.Mesh to shard those batches over its first axis
+        (per-block independence needs no collectives).
 
         Returns True iff every block is fully recovered."""
-        ok, launched = self._repair_pipeline(max_workers)
+        ok, launched = self._repair_pipeline(max_workers, mesh=mesh)
         for sbn, gaps, sym in launched:
             ok = self._repair_finish(io, sbn, gaps, sym) and ok
         return ok

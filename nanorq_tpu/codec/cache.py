@@ -67,6 +67,71 @@ def clear_encoder_cache() -> None:
 _rows_lock = Lock()
 _rows_cache: dict[int, list] = {}
 
+# per-(K', ISI) LT row memo: decode patterns re-reference a small window of
+# repair ISIs, so the tuple/PRNG expansion — the dominant per-pattern host
+# cost at small K' — amortizes to a dict hit.  Rows are ~30 int32s; the cap
+# bounds the memo at a few MB.
+from collections import OrderedDict as _OrderedDict
+
+_lt_lock = Lock()
+_lt_cache: "_OrderedDict[tuple[int, int], np.ndarray]" = _OrderedDict()
+_LT_CACHE_CAP = int(os.environ.get("NANORQ_LT_ROW_CACHE", 16384))
+
+
+def _base_rows(P: Params):
+    """Cached encoder-system binary rows (CSR) for K'."""
+    with _rows_lock:
+        base = _rows_cache.get(P.Kp)
+    if base is None:
+        base = binary_rows(P)
+        with _rows_lock:
+            _rows_cache[P.Kp] = base
+    return base
+
+
+def _rows_subset(base, idx: np.ndarray):
+    """CSRRows view of base rows `idx` (vectorized gather, no tuple math)."""
+    from nanorq_tpu.precode.matrix import CSRRows
+
+    idx = np.asarray(idx, np.int64)
+    _, flat = base.select_flat(idx)
+    ptr = np.zeros(idx.size + 1, np.int64)
+    np.cumsum(base.ptr[idx + 1] - base.ptr[idx], out=ptr[1:])
+    return CSRRows(flat.astype(np.int32), ptr)
+
+
+def _lt_rows_cached(P: Params, isis: np.ndarray):
+    """LT rows (CSR) for `isis`, memoized per (K', ISI).
+
+    The per-ISI dict amortizes the tuple/PRNG expansion that dominates
+    small-K' pattern prep; above a few hundred rows the Python loop costs
+    more than the vectorized expansion itself, so large requests bypass it."""
+    from nanorq_tpu.precode.matrix import CSRRows, lt_rows_csr
+
+    isis = np.asarray(isis, np.uint32)
+    if isis.size > 256:
+        return lt_rows_csr(isis, P)
+    rows: list = [None] * isis.size
+    missing = []
+    with _lt_lock:
+        for j in range(isis.size):
+            key = (P.Kp, int(isis[j]))
+            got = _lt_cache.get(key)
+            if got is None:
+                missing.append(j)
+            else:
+                _lt_cache.move_to_end(key)
+                rows[j] = got
+    if missing:
+        fresh = lt_rows_csr(isis[np.asarray(missing, np.int64)], P)
+        with _lt_lock:
+            for mi, j in enumerate(missing):
+                rows[j] = fresh[mi]
+                _lt_cache[(P.Kp, int(isis[j]))] = rows[j]
+            while len(_lt_cache) > _LT_CACHE_CAP:
+                _lt_cache.popitem(last=False)
+    return CSRRows.from_list(rows)
+
 
 def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
     """Binary rows (CSR) for a decode pattern, reusing cached encoder rows.
@@ -76,21 +141,16 @@ def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
     few percent of K'.  The splice is fully vectorized (one flat-buffer
     scatter), never materializing per-row Python lists.
     """
-    from nanorq_tpu.precode.matrix import CSRRows, lt_rows_csr
+    from nanorq_tpu.precode.matrix import CSRRows
 
-    with _rows_lock:
-        base = _rows_cache.get(P.Kp)
-    if base is None:
-        base = binary_rows(P)
-        with _rows_lock:
-            _rows_cache[P.Kp] = base
+    base = _base_rows(P)
     Kp, S = P.Kp, P.S
     isis = np.asarray(isis, np.uint32)
     changed = np.nonzero(isis != np.arange(Kp + overhead, dtype=np.uint32))[0]
     changed = np.union1d(changed, np.arange(Kp, Kp + overhead)).astype(np.int64)
     if not changed.size:
         return base
-    fresh = lt_rows_csr(isis[changed], P)
+    fresh = _lt_rows_cached(P, isis[changed])
 
     n = Kp + overhead + S
     src = np.empty(n, np.int64)  # base row per output row; -1 marks changed
@@ -199,11 +259,12 @@ def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
         if use_gf2 or use_gf256:
             from nanorq_tpu.ops.wpath import w_rows, w_rows_gf2
             from nanorq_tpu.precode.device_schedule import _pad_rows
-            from nanorq_tpu.precode.matrix import lt_rows_csr
 
             gaps = np.nonzero(isis[: P.Kp] != np.arange(P.Kp, dtype=np.uint32))[0]
             M_pad = _pad_rows(st.M + 1)
-            out_rows = lt_rows_csr(gaps.astype(np.uint32), P)
+            # gap ISIs are systematic rows of the cached base CSR — a
+            # vectorized slice, no tuple/PRNG expansion
+            out_rows = _rows_subset(_base_rows(P), gaps)
             with stats.timer("dec_wrows"):
                 if use_gf2:
                     Wbits, rows = w_rows_gf2(st, out_rows, zero_row=M_pad - 1)

@@ -269,6 +269,87 @@ def _w_gf2_jit(bits, rows, D, pallas: bool):
 
 
 # ---------------------------------------------------------------------------
+# Batched multi-block execution: nb same-K' patterns in ONE dispatch.
+#
+# A fresh-pattern decode at small K' is dominated by per-block host/launch
+# overhead (~2 ms/dispatch through the runtime), not device math — the
+# reference's per-block repair at K=100 is ~0.2 ms of C.  Stacking the
+# per-pattern W matrices (padded to the batch max; zero pads are exact
+# no-ops over GF arithmetic) turns nb uploads + nb dispatches + nb syncs
+# into one of each.  The batch dimension is also the mesh-sharding axis:
+# callers pass sharded stacked inputs and the same jit runs SPMD over
+# blocks (SURVEY.md §2 parallelism checklist, per-SBN independence of
+# reference lib/nanorq.c:57).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def _w_gf2_batch_jit(bits, rows, D):
+    """bits [nb, m, kq/8], rows [nb, kq] int32, D [nb, M_pad, t] ->
+    [nb, m, t].  XLA matmul path (vmap-safe; per-block m/kq are batch-max
+    padded by the caller)."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.ops import gfmat
+    from nanorq_tpu.ops.replay import _unpack_bits
+
+    def one(b, r, d):
+        y = jnp.take(d, r, axis=0)  # [kq, t]
+        return gfmat.gf2_matmul(_unpack_bits(b), y)
+
+    return jax.vmap(one)(bits, rows, D)
+
+
+@partial(jax.jit, static_argnames=())
+def _w_gf256_batch_jit(bits, D):
+    """bits [nb, 8m, 8k/8] packed companion planes, D [nb, M_pad, t] ->
+    [nb, m, t] (GF(256) coefficients; k = D-row prefix length)."""
+    from nanorq_tpu.ops import gfmat
+    from nanorq_tpu.ops.replay import _unpack_bits
+
+    def one(b, d):
+        return gfmat.gf256_matmul_bits(_unpack_bits(b), d)
+
+    return jax.vmap(one)(bits, D)
+
+
+def w_stack_gf2(plans: list) -> tuple[np.ndarray, np.ndarray]:
+    """Stack gathered-form GF(2) WSchedules: (bits [nb, m, kq/8],
+    rows [nb, kq]).  m/kq pad to the batch max (both come from quantized
+    grids, so the max is shape-stable across batches of one K')."""
+    m = max(p.Wbits.shape[0] for p in plans)
+    kq = max(p.rows.size for p in plans)
+    nb = len(plans)
+    bits = np.zeros((nb, m, kq // 8), np.uint8)
+    rows = np.full((nb, kq), plans[0].M_pad - 1, np.int32)
+    for j, p in enumerate(plans):
+        bits[j, : p.Wbits.shape[0], : p.Wbits.shape[1]] = p.Wbits
+        rows[j, : p.rows.size] = p.rows
+    return bits, rows
+
+
+def w_stack_gf256(plans: list) -> np.ndarray:
+    """Stack byte-W WSchedules as packed companion planes
+    [nb, 8m, k] (k = M_pad; zero coefficient blocks are identity-free
+    no-ops)."""
+    from nanorq_tpu.gf256.bitplane import companion_bits
+
+    m = max(p.W.shape[0] for p in plans)
+    k = plans[0].M_pad
+    nb = len(plans)
+    bits = None
+    for j, p in enumerate(plans):
+        Wp = p.W if p.W.shape[0] == m else np.vstack(
+            [p.W, np.zeros((m - p.W.shape[0], p.W.shape[1]), np.uint8)]
+        )
+        comp = np.packbits(companion_bits(Wp[:, :k]), axis=-1, bitorder="little")
+        if bits is None:
+            bits = np.zeros((nb,) + comp.shape, np.uint8)
+        bits[j] = comp
+    return bits
+
+
+# ---------------------------------------------------------------------------
 # Device execution: out = W (x) D, one matmul
 # ---------------------------------------------------------------------------
 

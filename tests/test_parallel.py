@@ -75,3 +75,52 @@ def test_dryrun_multichip_self_provisions():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(2)
+
+
+def _pattern_roundtrip(K, Z, T, mesh, seed=0):
+    """Public-API round trip: Z blocks, DISTINCT loss per block, repaired by
+    ONE repair_all call (stacked W batches, optionally mesh-sharded)."""
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    rng = np.random.default_rng(seed)
+    F = K * T * Z
+    data = rng.integers(0, 256, F, dtype=np.uint8)
+    enc = Encoder(F, T, Al=1, Z=Z)
+    src = MemoryIO(data)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out = np.zeros(F, np.uint8)
+    io = MemoryIO(out)
+    payloads = data.reshape(Z * K, T)
+    for sbn in range(Z):
+        gaps = np.sort(rng.choice(K, size=3 + (sbn % 3), replace=False))
+        keep = np.setdiff1d(np.arange(K), gaps)
+        rep_esis = np.arange(K, K + gaps.size + 2 + (sbn % 2))
+        rep_pl = enc.encode_batch(sbn, rep_esis, src)
+        dec.add_symbols(payloads[sbn * K + keep], [make_tag(sbn, int(e)) for e in keep], io)
+        dec.add_symbols(rep_pl, [make_tag(sbn, int(e)) for e in rep_esis], io)
+    assert dec.repair_all(io, mesh=mesh)
+    assert np.array_equal(out, data)
+
+
+def test_repair_all_batched_single_device():
+    """Stacked W-batch dispatch (mesh=None) is bit-exact across blocks with
+    distinct loss patterns, and actually takes the batch path."""
+    from nanorq_tpu.utils import stats
+
+    c0 = stats.snapshot()["counters"].get("repair_batch_blocks", 0)
+    _pattern_roundtrip(K=64, Z=6, T=48, mesh=None, seed=1)
+    c1 = stats.snapshot()["counters"].get("repair_batch_blocks", 0)
+    assert c1 - c0 >= 6
+
+
+def test_repair_all_mesh_sharded():
+    """repair_all(mesh=...) shards the stacked block batches over the
+    8-device mesh — the production multi-chip decode path, bit-exact."""
+    import jax
+
+    from nanorq_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    _pattern_roundtrip(K=64, Z=8, T=48, mesh=make_mesh(), seed=2)
