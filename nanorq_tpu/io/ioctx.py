@@ -108,10 +108,18 @@ class FileIO(IOContext):
 
 class MmapIO(IOContext):
     """Memory-mapped file I/O with on-demand growth for writers
-    (io.c:159-388; whole-file mapping instead of a 64 KiB sliding window —
-    the kernel's page cache does the windowing)."""
+    (io.c:159-388).
 
-    def __init__(self, path: str, write: bool = False, create_size: int | None = None):
+    By default the whole file is mapped (the kernel's page cache does the
+    windowing on 64-bit hosts).  Pass ``window`` (bytes, page-aligned up)
+    for the reference's sliding-window behavior (lib/io.c:159-236): only a
+    bounded VA range is mapped at a time and accesses outside it remap —
+    this bounds address-space usage toward the format's 881 GB maximum
+    object, and on 32-bit-ish VA budgets it is the only way to touch such
+    objects at all."""
+
+    def __init__(self, path: str, write: bool = False, create_size: int | None = None,
+                 window: int | None = None):
         self.writable = write
         flags = os.O_RDWR | os.O_CREAT if write else os.O_RDONLY
         self._fd = os.open(path, flags, 0o644)
@@ -125,31 +133,61 @@ class MmapIO(IOContext):
         # writers ftruncate to the object size, lib/io.c:258-300).
         self._logical = self._size
         self._map = None
+        page = mmap.ALLOCATIONGRANULARITY
+        self._window = -(-window // page) * page if window else None
+        self._w0 = 0  # window base offset (window mode only)
         if self._size:
             self._remap()
 
-    def _remap(self):
+    def _remap(self, want0: int = 0, wantn: int = 0):
         if self._map is not None:
             self._map.close()
+            self._map = None
         acc = mmap.ACCESS_WRITE if self.writable else mmap.ACCESS_READ
-        self._map = mmap.mmap(self._fd, self._size, access=acc)
+        if self._window is None:
+            self._map = mmap.mmap(self._fd, self._size, access=acc)
+            return
+        # slide the window to cover [want0, want0+wantn); windows are
+        # window-aligned like the reference's remap-on-seek (io.c:188-236)
+        base = (want0 // self._window) * self._window
+        length = min(self._size - base, max(self._window, want0 + wantn - base))
+        self._w0 = base
+        if length > 0:
+            self._map = mmap.mmap(self._fd, length, access=acc, offset=base)
+
+    def _view(self, offset: int, n: int):
+        """(map, local_offset) covering [offset, offset+n), remapping the
+        window if needed."""
+        if self._window is None:
+            return self._map, offset
+        if (self._map is None or offset < self._w0
+                or offset + n > self._w0 + len(self._map)):
+            self._remap(offset, n)
+        return self._map, offset - self._w0
 
     def _grow(self, need: int):
         newsize = max(need, self._size * 2 if self._size else need)
         os.ftruncate(self._fd, newsize)
         self._size = newsize
-        self._remap()
+        if self._window is None:
+            self._remap()
+        elif self._map is not None:
+            self._map.close()
+            self._map = None  # next access remaps against the grown file
 
     def read_at(self, offset: int, n: int) -> bytes:
         if offset >= self._size:
             return b""
-        return self._map[offset : min(offset + n, self._size)]
+        n = min(n, self._size - offset)
+        m, lo = self._view(offset, n)
+        return m[lo : lo + n]
 
     def write_at(self, offset: int, data) -> int:
         data = bytes(data) if not isinstance(data, (bytes, bytearray)) else data
         if offset + len(data) > self._size:
             self._grow(offset + len(data))
-        self._map[offset : offset + len(data)] = data
+        m, lo = self._view(offset, len(data))
+        m[lo : lo + len(data)] = data
         self._logical = max(self._logical, offset + len(data))
         return len(data)
 

@@ -416,3 +416,39 @@ def test_mmapio_truncates_growth_on_close(tmp_path):
     io_w.write_at(0, b"z" * 10)
     io_w.close()
     assert os.path.getsize(p) == 1600
+
+
+def test_mmap_windowed_roundtrip(tmp_path):
+    """Sliding-window MmapIO (reference io.c:159-236 behavior): a window far
+    smaller than the object still round-trips bit-exact, the mapped VA range
+    stays bounded, and growth + truncate-on-close still hold."""
+    import mmap as _mmap
+
+    from nanorq_tpu.io.ioctx import MmapIO
+
+    rng = np.random.default_rng(33)
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "out.bin"
+    win = _mmap.ALLOCATIONGRANULARITY  # one granule (64 KiB/4 KiB): forces remaps
+
+    with MmapIO(str(src), window=win) as io_in:
+        enc = Encoder(io_in.size(), 512, Al=4, Z=2)
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        with MmapIO(str(out), write=True, window=win) as io_out:
+            for sbn in range(enc.num_blocks):
+                K = enc.block_symbols(sbn)
+                esis = np.r_[np.arange(3, K), np.arange(K, K + 6)]  # drop 0-2
+                for esi, p in zip(esis, enc.encode_batch(sbn, esis, io_in)):
+                    dec.add_symbol(p.tobytes(), make_tag(sbn, int(esi)), io_out)
+                assert dec.repair_block(io_out, sbn)
+            # bounded VA: the live mapping never exceeds window + one slide
+            assert io_in._map is None or len(io_in._map) <= 2 * win
+    assert out.read_bytes() == data
+    # scattered rewrites through a tiny window (remap both directions)
+    with MmapIO(str(out), write=True, window=win) as io_w:
+        for off in (250_000, 10, 123_456, 299_000, 0):
+            io_w.write_at(off, bytes([off % 251]) * 7)
+        for off in (250_000, 10, 123_456, 299_000, 0):
+            assert io_w.read_at(off, 7) == bytes([off % 251]) * 7
