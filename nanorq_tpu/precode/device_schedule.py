@@ -983,17 +983,29 @@ class _LayoutState:
     def freeze(self, Lpad, CB):
         """(Re)build the frozen layout from the accumulated max profile.
 
-        The union envelope over a few patterns is nearly free (measured
-        ~1.0x a single pattern's DP-optimal slots at K=50000: staircase
-        profiles concentrate), so the layout is TIGHT to the union —
-        re-freezing on a misfit (the profile, fed by every pattern seen,
-        has grown past the frozen shapes) is the growth mechanism, and it
-        converges after a handful of patterns.  Only the coverage end gets
-        a couple of positions of slack: running one more narrow-width row
-        pair per chunk is much cheaper than a re-freeze."""
-        merged = _plan_bounds_from_degs(Lpad, CB, self.degs_max)
+        The profile is INFLATED before the DP: +25% (min +4) on every
+        nonzero degree, so widths land one quantization step above the
+        union envelope.  Measured at K'=50511, a tight-to-the-union layout
+        mis-fit ~20-25% of later 6%-loss patterns (degree creep of a few
+        units right at a pow2 width boundary — worst in the heavy zone,
+        where topological rank jitter moves ~180-degree rows across
+        positions), and every misfit costs a re-freeze + XLA recompile.
+        The inflated widths cost a few percent of gathered slots; the
+        re-freeze rate drops to ~zero."""
+        d = self.degs_max
+        infl = d + np.where(d > 0, np.maximum(4, d >> 2), 0)
+        if self.hpad:
+            # heavy zone: topological-rank jitter moves ~180-degree rows
+            # across chunks between patterns, so per-chunk profiles are
+            # meaningless there — freeze the zone to its column-wise max
+            # envelope (rows are sorted non-increasing, so the column max
+            # is a valid sorted profile).  The zone is a few chunks; the
+            # extra slots are cheap against a re-freeze + recompile.
+            hq = (Lpad - self.hpad) // CB
+            infl[hq:] = infl[hq:].max(axis=0, keepdims=True)
+        merged = _plan_bounds_from_degs(Lpad, CB, infl)
         # slack, in rising cost order: +4 positional dilation at internal
-        # boundaries (knee drift), +8 coverage, and a width-2 SPILL range
+        # boundaries (knee drift), +16 coverage, and a width-2 SPILL range
         # overlapping the whole covered prefix (degree creep of +1/+2 right
         # at a pow2 width boundary).  Ranges apply additively on device
         # (acc[a:b] ^= gather), so overlap is free; the fill splits a row's
@@ -1003,15 +1015,18 @@ class _LayoutState:
             nb, prev = [], 0
             for i2, (a, b, w) in enumerate(bounds):
                 last = i2 == len(bounds) - 1
-                b2 = min(CB, max(b + (8 if last else 4), prev))
+                b2 = min(CB, max(b + (16 if last else 4), prev))
                 if b2 > prev:
                     nb.append((prev, b2, w))
                     prev = b2
             if nb:
-                # spill over the narrow-width suffix only: +-1/2 degree creep
-                # is a relative perturbation, irrelevant where w >= 16
-                a_spill = next((a for a, _, w in nb if w <= 8), nb[-1][0])
-                nb.append((a_spill, nb[-1][1], 2))
+                # spill across the WHOLE chunk at width 2: coverage is then
+                # always CB, so a pattern whose sorted nonzero tail reaches
+                # past the union envelope's prefix (observed jumps of +70
+                # positions at K'=50511, always degree 1-2 out there) still
+                # fits; only a >2-degree creep at an uncovered position —
+                # unobserved over hundreds of patterns — re-freezes
+                nb.append((0, CB, 2))
             slacked.append((q0, q1, nb))
         classes = [
             (int(w), _pad_rows(int(n) + max(2, int(n) >> 2)))
