@@ -26,7 +26,20 @@ def main(argv=None) -> int:
         "a warm layout means loss patterns reuse already-compiled replay "
         "programs instead of re-walking the freeze warm-up)",
     )
+    ap.add_argument(
+        "--mesh",
+        choices=("auto", "off"),
+        default="off",
+        help="'auto' shards the stacked per-block repair batches over a 1-D "
+        "mesh of all local devices (per-SBN independence, zero-collective "
+        "SPMD); single-device hosts fall back to 'off'",
+    )
     args = ap.parse_args(argv)
+    mesh = None
+    if args.mesh == "auto":
+        from nanorq_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
 
     lay_path = None
     if args.layout_cache:
@@ -59,7 +72,7 @@ def main(argv=None) -> int:
                 )
             # pipelined multi-block repair: host pattern-solves run in a
             # thread pool, overlapped with device replays (api.repair_all)
-            ok = dec.repair_all(io)
+            ok = dec.repair_all(io, mesh=mesh)
             if not ok:
                 for sbn in range(dec.num_blocks):
                     if dec.num_missing(sbn):

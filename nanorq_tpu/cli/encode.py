@@ -37,7 +37,20 @@ def main(argv=None) -> int:
         "nanorq_precalculate across processes: a warm start skips the "
         "schedule solve entirely)",
     )
+    ap.add_argument(
+        "--mesh",
+        choices=("auto", "off"),
+        default="off",
+        help="'auto' shards the object-level replay + LT combine over a 1-D "
+        "mesh of all local devices (blocks side by side on the width axis, "
+        "zero-collective SPMD); single-device hosts fall back to 'off'",
+    )
     args = ap.parse_args(argv)
+    mesh = None
+    if args.mesh == "auto":
+        from nanorq_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
 
     rng = random.Random(args.seed)
     with FileIO(args.filename) as io:
@@ -52,14 +65,14 @@ def main(argv=None) -> int:
         from nanorq_tpu.codec.batch import generate, load_object, repair_symbols, source_symbol
 
         batch = load_object(enc, io)
-        generate(batch)
+        generate(batch, mesh=mesh)
         drops = []
         for sbn in range(enc.num_blocks):
             num_esi = enc.block_symbols(sbn)
             kept = [e for e in range(num_esi) if rng.random() * 100.0 >= args.loss]
             drops.append((kept, num_esi - len(kept)))
         max_rep = max(d for _, d in drops) + args.overhead if drops else 0
-        rep = repair_symbols(batch, max_rep) if max_rep else {}
+        rep = repair_symbols(batch, max_rep, mesh=mesh) if max_rep else {}
         with open(args.output, "wb") as oh:
             oh.write(struct.pack("<QI", enc.oti_common(), enc.oti_scheme_specific()))
             for b, sbn in enumerate(batch.sbns):

@@ -205,8 +205,15 @@ class Encoder(_CodecBase):
             b.loaded = True
         return b
 
-    def generate_symbols(self, sbn: int, io: IOContext) -> bool:
-        """Compute the block's intermediate symbols (nanorq_generate_symbols)."""
+    def generate_symbols(self, sbn: int, io: IOContext, mesh=None) -> bool:
+        """Compute the block's intermediate symbols (nanorq_generate_symbols).
+
+        Pass a 1-D jax.sharding.Mesh to shard the payload width over its
+        devices: the structured replay is a stream of row ops, columnwise
+        independent, so width sharding is zero-collective SPMD.  (For
+        whole-object multi-block encodes prefer codec.batch, which lays
+        blocks side by side on the width axis before sharding.)
+        """
         b = self._load(io, sbn)
         if b.C is not None:
             return True
@@ -215,32 +222,47 @@ class Encoder(_CodecBase):
         from nanorq_tpu.ops.replay import device_arrays, replay_device
 
         ds = _cache.encoder_schedule(self.P.Kp)
-        b.C = replay_device(device_arrays(ds), jnp.asarray(b.D))
+        arr = device_arrays(ds)
+        if mesh is not None:
+            from nanorq_tpu.parallel.mesh import pad_width, replay_sharded, shard_width
+
+            Dp = pad_width(b.D, int(np.prod(mesh.devices.shape)))
+            b.C = replay_sharded(arr, shard_width(Dp, mesh), mesh)
+        else:
+            b.C = replay_device(arr, jnp.asarray(b.D))
         return True
 
-    def encode_batch(self, sbn: int, esis: np.ndarray, io: IOContext) -> np.ndarray:
+    def encode_batch(self, sbn: int, esis: np.ndarray, io: IOContext, mesh=None) -> np.ndarray:
         """Encode many symbols of one block at once -> [n, T] uint8.
 
         Source ESIs (esi < K) are served from the loaded symbol matrix
         (systematic fast path, nanorq.c:414-420); repair ESIs from the
-        batched LT combine over the device intermediates.
+        batched LT combine over the device intermediates.  With `mesh`, the
+        LT combine runs sharded on the payload width (and the intermediates
+        are generated sharded if not yet present).
         """
         esis = np.asarray(esis, dtype=np.int64)
         b = self._load(io, sbn)
-        out = np.zeros((len(esis), self.scheme.T), np.uint8)
+        T = self.scheme.T
+        out = np.zeros((len(esis), T), np.uint8)
         src_mask = esis < b.K
         if src_mask.any():
             out[src_mask] = b.D[esis[src_mask]]
         rep = np.nonzero(~src_mask)[0]
         if rep.size:
             if b.C is None:
-                self.generate_symbols(sbn, io)
+                self.generate_symbols(sbn, io, mesh=mesh)
             from nanorq_tpu.ops.lt import lt_combine, lt_plan
 
             isis = (esis[rep] + (self.P.Kp - b.K)).astype(np.uint32)
             plan = lt_plan(isis, self.P)
-            sym = np.asarray(lt_combine(b.C, plan))
-            out[rep] = sym[: rep.size]
+            if mesh is not None and b.C.shape[1] % int(np.prod(mesh.devices.shape)) == 0:
+                from nanorq_tpu.parallel.mesh import lt_sharded
+
+                sym = np.asarray(lt_sharded(b.C, plan, mesh))
+            else:
+                sym = np.asarray(lt_combine(b.C, plan))
+            out[rep] = sym[: rep.size, :T]
         return out
 
     def encode(self, esi: int, sbn: int, io: IOContext) -> np.ndarray:

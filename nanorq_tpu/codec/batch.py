@@ -52,9 +52,10 @@ def generate(batch: ObjectBatch, mesh=None):
     arr = device_arrays(ds)
     Dj = jnp.asarray(batch.D)
     if mesh is not None:
-        from nanorq_tpu.parallel.mesh import replay_sharded, shard_width
+        from nanorq_tpu.parallel.mesh import pad_width, replay_sharded, shard_width
 
-        batch.C = replay_sharded(arr, shard_width(batch.D, mesh), mesh)
+        Dp = pad_width(batch.D, int(np.prod(mesh.devices.shape)))
+        batch.C = replay_sharded(arr, shard_width(Dp, mesh), mesh)
     else:
         batch.C = replay_device(arr, Dj)
     return batch.C
@@ -65,20 +66,26 @@ def source_symbol(batch: ObjectBatch, b: int, esi: int) -> np.ndarray:
     return batch.D[esi, b * T : (b + 1) * T]
 
 
-def repair_symbols(batch: ObjectBatch, n_repair: int) -> dict[int, np.ndarray]:
+def repair_symbols(batch: ObjectBatch, n_repair: int, mesh=None) -> dict[int, np.ndarray]:
     """Repair payloads for every block: {batch index b: [n_repair, T]}.
 
     Repair ISIs are K-independent — arange(K, K+n) + (K'-K) == arange(K', K'+n)
     for every block length — so one LT plan and one batched combine cover the
-    whole object.
+    whole object.  With `mesh`, the combine runs sharded on the block/width
+    axis (same layout as generate(mesh=...)).
     """
     from nanorq_tpu.ops.lt import lt_combine, lt_plan
 
     if batch.C is None:
-        generate(batch)
+        generate(batch, mesh=mesh)
     T = batch.enc.symbol_size
     P = batch.enc.P
     isis = np.arange(P.Kp, P.Kp + n_repair, dtype=np.uint32)
     plan = lt_plan(isis, P)
-    sym = np.asarray(lt_combine(batch.C, plan))[:n_repair]
+    if mesh is not None and batch.C.shape[1] % int(np.prod(mesh.devices.shape)) == 0:
+        from nanorq_tpu.parallel.mesh import lt_sharded
+
+        sym = np.asarray(lt_sharded(batch.C, plan, mesh))[:n_repair]
+    else:
+        sym = np.asarray(lt_combine(batch.C, plan))[:n_repair]
     return {b: sym[:, b * T : (b + 1) * T] for b in range(len(batch.sbns))}

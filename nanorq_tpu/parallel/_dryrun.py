@@ -129,6 +129,38 @@ def run(n_devices: int) -> None:
         f"recovered bit-exact via the sharded combination matmul"
     )
 
+    # --- public-API round trip over the mesh: the PRODUCTION multi-chip
+    # path.  Encoder (mesh-sharded replay + LT via encode_batch) feeds a
+    # Decoder whose repair_all(mesh=...) shards the stacked per-block W
+    # batches — one device dispatch repairing n_devices blocks, each with a
+    # DISTINCT loss pattern.
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    Kb, Tb, Zb = 64, 96, n_devices
+    data = rng.integers(0, 256, Kb * Tb * Zb, dtype=np.uint8)
+    enc = Encoder(data.size, Tb, Al=1, Z=Zb)
+    src = MemoryIO(data)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out = np.zeros(data.size, np.uint8)
+    io = MemoryIO(out)
+    payloads = data.reshape(Zb * Kb, Tb)
+    for sbn in range(Zb):
+        g = np.sort(rng.choice(Kb, size=3 + (sbn % 3), replace=False))
+        keep = np.setdiff1d(np.arange(Kb), g)
+        rep_esis = np.arange(Kb, Kb + g.size + 2)
+        rep_pl = enc.encode_batch(sbn, rep_esis, src, mesh=mesh)
+        dec.add_symbols(payloads[sbn * Kb + keep], [make_tag(sbn, int(e)) for e in keep], io)
+        dec.add_symbols(rep_pl, [make_tag(sbn, int(e)) for e in rep_esis], io)
+    assert dec.repair_all(io, mesh=mesh), "mesh-sharded repair_all failed"
+    assert np.array_equal(out, data), "public-API mesh round trip lost bit-exactness"
+    print(
+        f"dryrun_multichip({n_devices}): public API OK — Encoder.encode_batch(mesh=) "
+        f"+ Decoder.repair_all(mesh=) round-tripped {Zb} blocks with distinct "
+        f"loss patterns bit-exact"
+    )
+
 
 def spawn(n_devices: int) -> None:
     """Run the dryrun in a fresh interpreter with a forced n-device CPU platform."""

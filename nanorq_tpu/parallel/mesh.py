@@ -25,6 +25,26 @@ def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def auto_mesh() -> Mesh | None:
+    """The production default: a 1-D mesh over all local devices, or None
+    when only one device is visible (single-chip dispatch needs no
+    shard_map).  This is what the CLIs' --mesh auto resolves to."""
+    devs = jax.devices()
+    return make_mesh(devs) if len(devs) > 1 else None
+
+
+def pad_width(D: np.ndarray, n_dev: int) -> np.ndarray:
+    """Zero-pad the width (payload) axis up to a multiple of n_dev so it can
+    shard evenly; zero columns are exact no-ops under every GF kernel."""
+    t = D.shape[1]
+    tp = -(-t // n_dev) * n_dev
+    if tp == t:
+        return D
+    out = np.zeros((D.shape[0], tp), D.dtype)
+    out[:, :t] = D
+    return out
+
+
 def replay_sharded(arr: dict, D: jnp.ndarray, mesh: Mesh):
     """Sharded structured replay: D [M_pad, n_dev*B*T] split on width."""
     from nanorq_tpu.ops.replay import _replay_jit

@@ -96,3 +96,20 @@ def test_cli_wire_format(tmp_path):
     tags = [struct.unpack_from("<I", body, i * (4 + T))[0] for i in range(len(body) // (4 + T))]
     sbns = {t >> 24 for t in tags}
     assert sbns == set(range(((scheme >> 24) & 0xFF) + 1))
+
+
+def test_cli_mesh_auto_roundtrip(tmp_path):
+    """--mesh auto on both CLIs: encode + decode sharded over the 8-device
+    virtual mesh, byte-exact file round trip (the production multi-chip
+    CLI path)."""
+    rng = np.random.default_rng(11)
+    src = tmp_path / "input.bin"
+    data = bytes(rng.integers(0, 256, 50_000, dtype=np.uint8))
+    src.write_bytes(data)
+    rq = tmp_path / "data.rq"
+    out = tmp_path / "output.bin"
+    rc = encode_main([str(src), "512", "-o", str(rq), "--seed", "5", "--mesh", "auto"])
+    assert rc == 0
+    rc = decode_main([str(out), "-i", str(rq), "--mesh", "auto"])
+    assert rc == 0
+    assert out.read_bytes() == data

@@ -124,3 +124,24 @@ def test_repair_all_mesh_sharded():
 
     assert len(jax.devices()) == 8
     _pattern_roundtrip(K=64, Z=8, T=48, mesh=make_mesh(), seed=2)
+
+
+def test_encoder_mesh_sharded():
+    """Encoder.generate_symbols/encode_batch(mesh=...) shard the payload
+    width over the 8-device mesh and stay bit-exact vs the single-device
+    path (T=100 is NOT divisible by 8: exercises the zero-pad shard)."""
+    import jax
+
+    from nanorq_tpu.codec.api import Encoder
+    from nanorq_tpu.io.ioctx import MemoryIO
+    from nanorq_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    K, T = 40, 100
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, K * T, dtype=np.uint8)
+    io = MemoryIO(data)
+    esis = np.r_[np.arange(0, K, 3), np.arange(K, K + 9)]
+    ref = Encoder(data.size, T, Al=1).encode_batch(0, esis, io)
+    got = Encoder(data.size, T, Al=1).encode_batch(0, esis, io, mesh=make_mesh())
+    assert np.array_equal(ref, got)
