@@ -71,8 +71,12 @@ def main(argv=None) -> int:
                     f"lost {dec.num_missing(sbn)}, have {dec.num_repair(sbn)} repair"
                 )
             # pipelined multi-block repair: host pattern-solves run in a
-            # thread pool, overlapped with device replays (api.repair_all)
-            ok = dec.repair_all(io, mesh=mesh)
+            # thread pool, overlapped with device replays (api.repair_all).
+            # --layout-cache forces the device arm: the persisted layouts
+            # only exist for device plans, so the adaptive host arm would
+            # leave nothing to save.
+            backend = "device" if lay_path is not None else None
+            ok = dec.repair_all(io, mesh=mesh, backend=backend)
             if not ok:
                 for sbn in range(dec.num_blocks):
                     if dec.num_missing(sbn):

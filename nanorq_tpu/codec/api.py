@@ -650,12 +650,50 @@ class Decoder(_CodecBase):
         sym = self._repair_launch(sbn, gaps, overhead, ds)
         return self._repair_finish(io, sbn, gaps, sym)
 
+    def _repair_host_batch(self, work):
+        """CPU arm of the adaptive decode runtime: one native call fusing
+        solve + substitution + LT gap combine for a batch of blocks
+        (native.host_repair — the reference's nanorq_repair_block shape,
+        lib/nanorq.c:591-630, with zero device traffic).
+
+        work: [(sbn, gaps, isis, overhead)].  Returns (ok, results) with
+        results = [(sbn, gaps, recovered_np)] for successful blocks;
+        rank-deficient blocks count as failures (feed more symbols, retry).
+        """
+        from nanorq_tpu.native import host_repair
+        from nanorq_tpu.utils import stats
+
+        P, T = self.P, self.scheme.T
+        base = _cache._base_rows(P)
+        items, metas = [], []
+        for sbn, gaps, isis, ov in work:
+            rows = _cache._patched_rows(P, isis, ov)
+            gap_csr = _cache._rows_subset(base, gaps)
+            D = self._repair_D(sbn, gaps, ov, len(rows))
+            items.append((rows, D, gap_csr))
+            metas.append((sbn, gaps))
+        with stats.timer("host_repair"):
+            res = host_repair(P, items, T)
+        if res is None:  # native library unavailable: caller reroutes
+            return None
+        outs, statuses = res
+        stats.count("repair_host_blocks", len(items))
+        ok, results = True, []
+        for (sbn, gaps), out, status in zip(metas, outs, statuses):
+            if status == 0:
+                results.append((sbn, gaps, out))
+            else:
+                stats.count("decode_rank_deficient")
+                stats.count("repair_block_failed")
+                ok = False
+        return ok, results
+
     # WSchedule blocks accumulate into stacked dispatches of up to this many
     # blocks (pow2-padded shapes bound compile diversity; chunking keeps
     # device work flowing while later solves run)
     _BATCH_FLUSH = 32
 
-    def _repair_pipeline(self, max_workers: int | None = None, mesh=None):
+    def _repair_pipeline(self, max_workers: int | None = None, mesh=None, backend: str | None = None):
         """Solve + launch every gap block without draining results.
 
         Returns (ok_so_far, launched) where launched is a list of
@@ -665,9 +703,24 @@ class Decoder(_CodecBase):
         W-plan blocks (the small/mid-K' dense path) launch as STACKED
         batches — one upload/dispatch per _BATCH_FLUSH blocks, sharded over
         `mesh`'s first axis when given; structured plans launch per block.
+
+        `backend` picks the execution arm per block (default env
+        NANORQ_DECODE_BACKEND, else "auto"):
+        - "auto": COLD patterns run on the host CPU arm (solve +
+          substitution fused natively, no link traffic — the per-pattern
+          plan build + upload only pays off when the compiled plan will be
+          reused); patterns whose device plan is already cached replay on
+          device.  A mesh forces the device arm (the host arm is
+          single-node).
+        - "device": always build/replay device plans (the streaming shape).
+        - "host": always the native CPU arm (falls back to device when the
+          native library is unavailable).
         """
+        import os as _os
+
         from concurrent.futures import ThreadPoolExecutor
 
+        backend = backend or _os.environ.get("NANORQ_DECODE_BACKEND", "auto")
         work, ok = [], True
         for sbn in range(self.num_blocks):
             prep = self._repair_prepare(sbn)
@@ -677,6 +730,42 @@ class Decoder(_CodecBase):
                 work.append((sbn, *prep))
         if not work:
             return ok, []
+
+        if backend != "device" and mesh is None:
+            from nanorq_tpu.native import native_available
+
+            if native_available():
+                if backend == "host":
+                    host_work, dev_work = work, []
+                else:  # auto: warm plans -> device, cold patterns -> host
+                    host_work, dev_work = [], []
+                    for item in work:
+                        hit, plan = _cache.decoder_plan_cached(self.P, item[2], item[3])
+                        (dev_work if hit and plan is not None else host_work).append(item)
+                launched = []
+                if host_work:
+                    res = self._repair_host_batch(host_work)
+                    if res is None:
+                        dev_work = work  # native vanished mid-flight: reroute all
+                    else:
+                        hok, results = res
+                        ok = ok and hok
+                        launched.extend(results)
+                if not dev_work:
+                    return ok, launched
+                work = dev_work
+                dok, dlaunched = self._repair_pipeline_device(work, max_workers, mesh)
+                return ok and dok, launched + dlaunched
+
+        dok, launched = self._repair_pipeline_device(work, max_workers, mesh)
+        return ok and dok, launched
+
+    def _repair_pipeline_device(self, work, max_workers: int | None = None, mesh=None):
+        """Device arm: per-pattern plans solved in a worker thread, device
+        dispatches batched/stacked (see _repair_pipeline)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        ok = True
 
         # Producer-consumer pipeline: ONE solver thread streams pattern
         # solves; THIS thread owns the device queue (schedule upload + replay
@@ -722,18 +811,22 @@ class Decoder(_CodecBase):
             flush()
         return ok, launched
 
-    def repair_all(self, io: IOContext, max_workers: int | None = None, mesh=None) -> bool:
-        """Repair every block, pipelining the three stages (SURVEY.md §7
-        hard-part 5): per-pattern host solves run in a thread pool (the
-        native solver releases the GIL), device replays dispatch as each
-        solve lands (JAX async dispatch queues them), and result fetches +
-        write-through drain last — so solve(N+1) overlaps replay(N).
-        W-plan blocks dispatch as stacked batches; pass a
-        jax.sharding.Mesh to shard those batches over its first axis
-        (per-block independence needs no collectives).
+    def repair_all(self, io: IOContext, max_workers: int | None = None, mesh=None,
+                   backend: str | None = None) -> bool:
+        """Repair every block through the adaptive runtime.
+
+        Cold loss patterns run on the native CPU arm (solve + substitution
+        fused, zero device traffic — _repair_host_batch); warm patterns
+        replay their cached compiled plans on device, pipelined (SURVEY.md
+        §7 hard-part 5): per-pattern host solves run in a worker thread
+        while device replays dispatch as each solve lands, W-plan blocks
+        stacked into batched dispatches.  Pass a jax.sharding.Mesh to shard
+        those batches over its first axis (per-block independence needs no
+        collectives; forces the device arm).  `backend` overrides the arm:
+        "auto" (default, env NANORQ_DECODE_BACKEND) / "device" / "host".
 
         Returns True iff every block is fully recovered."""
-        ok, launched = self._repair_pipeline(max_workers, mesh=mesh)
+        ok, launched = self._repair_pipeline(max_workers, mesh=mesh, backend=backend)
         for sbn, gaps, sym in launched:
             ok = self._repair_finish(io, sbn, gaps, sym) and ok
         return ok

@@ -54,9 +54,13 @@ def encoder_schedule(Kp: int, CB: int | None = None) -> DeviceSchedule:
 
 
 def clear_decoder_cache() -> None:
-    """Drop all cached per-pattern decoder schedules (benchmarks use this to
-    force fresh solves; production code never needs it)."""
+    """Drop all cached per-pattern decoder schedules AND the per-ISI LT row
+    memo (benchmarks use this to force fully fresh per-pattern work — the
+    reference re-expands tuples inside its timed region; production code
+    never needs it)."""
     _dec_cache.clear()
+    with _lt_lock:
+        _lt_cache.clear()
 
 
 def clear_encoder_cache() -> None:
@@ -238,13 +242,24 @@ WPATH_MAX_KP = int(os.environ.get("NANORQ_WPATH_MAX_KP", 16384))
 WPATH_GF256_MAX_KP = int(os.environ.get("NANORQ_WPATH_GF256_MAX_KP", 4096))
 
 
+def _plan_key(P: Params, isis: np.ndarray, overhead: int) -> bytes:
+    return b"P|%d|%d|" % (P.Kp, overhead) + np.ascontiguousarray(isis, np.uint32).tobytes()
+
+
+def decoder_plan_cached(P: Params, isis: np.ndarray, overhead: int):
+    """(hit, plan) — a warm-plan probe for the adaptive decode backend: a
+    pattern whose device plan is already compiled+cached should replay on
+    device; a cold pattern is cheaper on the host CPU arm."""
+    return _dec_cache.get(_plan_key(P, isis, overhead))
+
+
 def decoder_plan(P: Params, isis: np.ndarray, overhead: int):
     """Best decode plan for a pattern: a WSchedule (dense combination
     matmul) in the dense-win regime, else the structured DeviceSchedule.
     Cached; None on rank deficiency."""
     from nanorq_tpu.utils import stats
 
-    key = b"P|%d|%d|" % (P.Kp, overhead) + np.ascontiguousarray(isis, np.uint32).tobytes()
+    key = _plan_key(P, isis, overhead)
     hit, cached = _dec_cache.get(key)
     if hit:
         stats.count("dec_schedule_cache_hit")

@@ -141,6 +141,14 @@ def get_lib():
             lib.nrq_splice_rows.argtypes = [
                 ctypes.c_int32, i64p, i32p, i64p, i64p, i32p, i64p, i32p,
             ]
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.nrq_host_repair.restype = None
+            lib.nrq_host_repair.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                i32p, i64p, i32p, i64p, i32p, u8p,
+                u64p, i64p, i32p, i64p, i32p, i64p, i32p, u64p, i32p,
+            ]
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.nrq_tri_plan.restype = ctypes.c_void_p
             lib.nrq_tri_plan.argtypes = [
@@ -413,3 +421,73 @@ def tri_fill_native(Lpad, CB, dep_k, dep_pos, layout_tri):
             off += n
         segments.append((int(q0), int(nq), ranges))
     return True, posmap, tinv, segments, counts
+
+
+def host_repair(P, items, T: int):
+    """Batched host-side block repair (nrq_host_repair): the adaptive
+    runtime's CPU arm — solve + substitution + LT gap combine fused in one
+    native call, no device traffic.
+
+    items: [(rows_csr, D, gap_csr)] per block, same K':
+      rows_csr — CSRRows of the patched binary system (cache._patched_rows)
+      D        — np.uint8 [>= NB, T] patched payload matrix (Decoder._repair_D)
+      gap_csr  — CSRRows of the gap ESIs' LT rows (cache._rows_subset)
+
+    Returns (outs, statuses): outs[b] is np.uint8 [ngaps, T] (valid iff
+    statuses[b] == 0); statuses: 0 ok, 1 rank-deficient (decode failure —
+    feed more symbols and retry).  HDPC-pivot factorizations (overhead < H)
+    are handled natively via the GF(256) nibble-LUT axpy.  None if the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from nanorq_tpu.precode.matrix import hdpc_full_rows
+
+    nb = len(items)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    hdpc = np.ascontiguousarray(hdpc_full_rows(P), dtype=np.uint8)
+    NBs = np.fromiter((len(r) for r, _, _ in items), np.int32, nb)
+    rp = [np.ascontiguousarray(r.ptr, np.int32) for r, _, _ in items]
+    rc = [np.ascontiguousarray(r.cols, np.int32) for r, _, _ in items]
+    gp = [np.ascontiguousarray(g.ptr, np.int32) for _, _, g in items]
+    gc = [np.ascontiguousarray(g.cols, np.int32) for _, _, g in items]
+    row_ptr_all = np.concatenate(rp)
+    row_cols_all = np.concatenate(rc) if any(a.size for a in rc) else np.zeros(1, np.int32)
+    gap_ptr_all = np.concatenate(gp)
+    gap_cols_all = np.concatenate(gc) if any(a.size for a in gc) else np.zeros(1, np.int32)
+
+    def offs(parts):
+        o = np.zeros(nb, np.int64)
+        o[1:] = np.cumsum([p.size for p in parts[:-1]])
+        return o
+
+    rp_off, rc_off = offs(rp), offs(rc)
+    gp_off, gc_off = offs(gp), offs(gc)
+
+    Ds = [np.ascontiguousarray(D, np.uint8) for _, D, _ in items]
+    ngaps = np.fromiter((len(g) for _, _, g in items), np.int32, nb)
+    outs = [np.empty((int(n), T), np.uint8) for n in ngaps]
+    D_ptrs = np.fromiter((d.ctypes.data for d in Ds), np.uint64, nb)
+    d_strides = np.fromiter((d.strides[0] for d in Ds), np.int64, nb)
+    out_ptrs = np.fromiter((o.ctypes.data for o in outs), np.uint64, nb)
+    statuses = np.empty(nb, np.int32)
+
+    lib.nrq_host_repair(
+        nb, P.L, P.W, P.S, P.H, T,
+        NBs.ctypes.data_as(i32p),
+        rp_off.ctypes.data_as(i64p), row_ptr_all.ctypes.data_as(i32p),
+        rc_off.ctypes.data_as(i64p), row_cols_all.ctypes.data_as(i32p),
+        hdpc.ctypes.data_as(u8p),
+        D_ptrs.ctypes.data_as(u64p), d_strides.ctypes.data_as(i64p),
+        ngaps.ctypes.data_as(i32p),
+        gp_off.ctypes.data_as(i64p), gap_ptr_all.ctypes.data_as(i32p),
+        gc_off.ctypes.data_as(i64p), gap_cols_all.ctypes.data_as(i32p),
+        out_ptrs.ctypes.data_as(u64p),
+        statuses.ctypes.data_as(i32p),
+    )
+    return outs, statuses

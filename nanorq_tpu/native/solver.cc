@@ -1442,3 +1442,160 @@ int64_t nrq_tp_ix_len(void* h) { return (int64_t)((TriPlan*)h)->ix.size(); }
 void nrq_tp_free(void* h) { delete (TriPlan*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched host-side block repair — the adaptive runtime's CPU arm.
+//
+// When the host<->device link's per-op latency would dominate (fresh loss
+// patterns, one-shot decodes, small blocks), shipping a per-pattern plan to
+// the device loses to just doing the O(nnz * T) byte work here, next to the
+// solver.  This fuses, per block: solve (nrq_solve above) + sparse
+// substitution over the payload rows + LT combine of the gap symbols —
+// the reference's nanorq_repair_block (lib/nanorq.c:591-630) as one native
+// call batched over blocks, so no per-block Python or device round trips.
+//
+// Math (D rows are T-byte payloads; GF(2) throughout except where noted):
+//   z  = T^-1 y           y_k = D[piv_rows[k]]; tri edges are ascending-k
+//   rhs_s = D[sel_s] ^ (sel row's pivot-col entries) . z     (Schur RHS)
+//     HDPC selected rows (overhead < H patterns): payload is zero and the
+//     pivot-col coefficients are GF(256) bytes -> rhs_h = sum_k
+//     hdpc[h][piv_cols[k]] (x) z_k via the nibble-LUT axpy
+//   xu = vinv . rhs       (u x u inverse of the pristine Schur snapshot;
+//                          binary or GF(256) to match the factorization)
+//   xa = T^-1 (y ^ Ut xu) (ut edges = pivot rows' inactive entries)
+//   C[piv_cols[k]] = xa_k, C[u_cols[j]] = xu_j
+//   out_g = XOR C[cols of gap g's LT row]
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void rxor(uint8_t* __restrict dst, const uint8_t* __restrict src, int n) {
+  int j = 0;
+  for (; j + 8 <= n; j += 8) {
+    uint64_t a, b;
+    memcpy(&a, dst + j, 8);
+    memcpy(&b, src + j, 8);
+    a ^= b;
+    memcpy(dst + j, &a, 8);
+  }
+  for (; j < n; j++) dst[j] ^= src[j];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-block arrays are concatenated; *_off give each block's start.  All
+// blocks share (L, W, S, H, T) — one K' per call.  D_ptrs/out_ptrs are raw
+// addresses of per-block row-major uint8 payload matrices.
+// statuses[b]: 0 ok, 1 rank-deficient, 3 internal inconsistency (never
+// expected).
+void nrq_host_repair(
+    int32_t nb, int32_t L, int32_t W, int32_t S, int32_t H, int32_t T,
+    const int32_t* NBs,
+    const int64_t* rp_off, const int32_t* row_ptr_all,
+    const int64_t* rc_off, const int32_t* row_cols_all,
+    const uint8_t* hdpc,
+    const uint64_t* D_ptrs, const int64_t* d_strides,
+    const int32_t* ngaps,
+    const int64_t* gp_off, const int32_t* gap_ptr_all,
+    const int64_t* gc_off, const int32_t* gap_cols_all,
+    const uint64_t* out_ptrs,
+    int32_t* statuses) {
+  std::vector<uint8_t> z, rhs, xu;
+  std::vector<int32_t> pivpos(L), ucolof(L);
+  for (int b = 0; b < nb; b++) {
+    statuses[b] = 3;
+    const int NB = NBs[b];
+    const int32_t* row_ptr = row_ptr_all + rp_off[b];
+    const int32_t* row_cols = row_cols_all + rc_off[b];
+    void* h = nrq_solve(NB, L, W, S, H, row_ptr, row_cols, hdpc);
+    Solver* sv = (Solver*)h;
+    if (sv->status) {
+      statuses[b] = 1;
+      nrq_free(h);
+      continue;
+    }
+    const int i = (int)sv->piv_rows.size();
+    const int u = L - i;
+    const uint8_t* D = (const uint8_t*)(uintptr_t)D_ptrs[b];
+    const int64_t ds = d_strides[b];
+    for (int c = 0; c < L; c++) pivpos[c] = -1, ucolof[c] = -1;
+    for (int k = 0; k < i; k++) pivpos[sv->piv_cols[k]] = k;
+    for (int j = 0; j < u; j++) ucolof[sv->u_cols[j]] = j;
+
+    z.resize((size_t)std::max(i, 1) * T);
+    rhs.resize((size_t)std::max(u, 1) * T);
+    xu.resize((size_t)std::max(u, 1) * T);
+    auto Z = [&](int k) { return z.data() + (size_t)k * T; };
+    auto RHS = [&](int s) { return rhs.data() + (size_t)s * T; };
+    auto XU = [&](int j) { return xu.data() + (size_t)j * T; };
+
+    // stage 1: z = T^-1 y (tri edges ascending in k)
+    for (int k = 0; k < i; k++) memcpy(Z(k), D + (size_t)sv->piv_rows[k] * ds, T);
+    const size_t nte = sv->tri_ek.size();
+    for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+
+    // stage 2: Schur RHS over the selected dense-pivot rows order[i..i+u)
+    bool bad = false;
+    for (int s = 0; s < u; s++) {
+      int r = sv->order[i + s];
+      if (r >= NB) {  // HDPC constraint row: zero payload, GF(256) coeffs
+        if (!sv->hdpc_used) { bad = true; break; }
+        const uint8_t* ah = hdpc + (size_t)(r - NB) * L;
+        memset(RHS(s), 0, T);
+        for (int k = 0; k < i; k++) {
+          uint8_t beta = ah[sv->piv_cols[k]];
+          if (beta) row_axpy(RHS(s), Z(k), beta, T);
+        }
+        continue;
+      }
+      memcpy(RHS(s), D + (size_t)r * ds, T);
+      for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+        int p = pivpos[row_cols[e]];
+        if (p >= 0) rxor(RHS(s), Z(p), T);
+      }
+    }
+    if (bad) {
+      nrq_free(h);
+      continue;
+    }
+
+    // stage 3: xu = vinv . rhs (binary inverse or GF(256), same loop)
+    for (int j = 0; j < u; j++) {
+      uint8_t* out = XU(j);
+      memset(out, 0, T);
+      const uint8_t* vrow = sv->vinv.data() + (size_t)j * u;
+      for (int m = 0; m < u; m++) {
+        uint8_t beta = vrow[m];
+        if (beta == 1) rxor(out, RHS(m), T);
+        else if (beta) row_axpy(out, RHS(m), beta, T);
+      }
+    }
+
+    // stage 4: xa = T^-1 (y ^ Ut xu), reusing the z buffer
+    for (int k = 0; k < i; k++) memcpy(Z(k), D + (size_t)sv->piv_rows[k] * ds, T);
+    const size_t nue = sv->ut_ek.size();
+    for (size_t e = 0; e < nue; e++) rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
+    for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+
+    // stage 5: gap outputs = XOR C[cols] with C addressed through the maps
+    const int ng = ngaps[b];
+    const int32_t* gptr = gap_ptr_all + gp_off[b];
+    const int32_t* gcols = gap_cols_all + gc_off[b];
+    uint8_t* outp = (uint8_t*)(uintptr_t)out_ptrs[b];
+    for (int g = 0; g < ng; g++) {
+      uint8_t* o = outp + (size_t)g * T;
+      memset(o, 0, T);
+      for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
+        int c = gcols[e];
+        int p = pivpos[c];
+        rxor(o, p >= 0 ? Z(p) : XU(ucolof[c]), T);
+      }
+    }
+    statuses[b] = 0;
+    nrq_free(h);
+  }
+}
+
+}  // extern "C"

@@ -47,3 +47,84 @@ def test_native_decode_pattern_and_failure():
     bad[0] = 5
     bad[5] = 5
     assert native.solve_native(P, binary_rows(P, bad)) is None
+
+
+def test_host_repair_roundtrip_forced():
+    """backend="host": the native CPU decode arm (solve + substitution +
+    LT combine fused in C) round-trips bit-exact, including HDPC-pivot
+    patterns (overhead < H) and odd widths."""
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+    from nanorq_tpu.native import native_available
+    from nanorq_tpu.utils import stats
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    for K, T, nrep_extra in [(64, 48, 1), (500, 1280, 2), (1000, 96, 30)]:
+        data = rng.integers(0, 256, K * T, dtype=np.uint8)
+        enc = Encoder(data.size, T, Al=1, Z=1)
+        src = MemoryIO(data)
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        out = np.zeros(data.size, np.uint8)
+        io = MemoryIO(out)
+        gaps = np.sort(rng.choice(K, size=max(2, K // 16), replace=False))
+        keep = np.setdiff1d(np.arange(K), gaps)
+        rep_esis = np.arange(K, K + gaps.size + nrep_extra)
+        rep_pl = enc.encode_batch(0, rep_esis, src)
+        dec.add_symbols(data.reshape(K, T)[keep], [make_tag(0, int(e)) for e in keep], io)
+        dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
+        c0 = stats.snapshot()["counters"].get("repair_host_blocks", 0)
+        assert dec.repair_all(io, backend="host")
+        c1 = stats.snapshot()["counters"].get("repair_host_blocks", 0)
+        assert c1 - c0 >= 1, "host arm not taken"
+        assert np.array_equal(out, data), (K, T)
+
+
+def test_adaptive_backend_cold_host_warm_device():
+    """auto policy: a cold pattern decodes on the host arm; once its device
+    plan is cached (via an explicit device decode), the same pattern
+    replays on device."""
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+    from nanorq_tpu.native import native_available
+    from nanorq_tpu.utils import stats
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(22)
+    K, T = 128, 64
+    data = rng.integers(0, 256, K * T, dtype=np.uint8)
+    enc = Encoder(data.size, T, Al=1, Z=1)
+    src = MemoryIO(data)
+    gaps = np.array([3, 40, 77])
+    keep = np.setdiff1d(np.arange(K), gaps)
+    rep_esis = np.arange(K, K + 5)
+    rep_pl = enc.encode_batch(0, rep_esis, src)
+
+    def load():
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        out = np.zeros(data.size, np.uint8)
+        io = MemoryIO(out)
+        dec.add_symbols(data.reshape(K, T)[keep], [make_tag(0, int(e)) for e in keep], io)
+        dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
+        return dec, out, io
+
+    cc.clear_decoder_cache()
+    dec, out, io = load()
+    c0 = stats.snapshot()["counters"].get("repair_host_blocks", 0)
+    assert dec.repair_all(io)  # cold: auto -> host arm
+    assert stats.snapshot()["counters"].get("repair_host_blocks", 0) - c0 == 1
+    assert np.array_equal(out, data)
+
+    dec, out, io = load()
+    assert dec.repair_all(io, backend="device")  # caches the device plan
+    assert np.array_equal(out, data)
+    dec, out, io = load()
+    c0 = stats.snapshot()["counters"].get("repair_host_blocks", 0)
+    assert dec.repair_all(io)  # warm: auto -> device arm
+    assert stats.snapshot()["counters"].get("repair_host_blocks", 0) - c0 == 0
+    assert np.array_equal(out, data)

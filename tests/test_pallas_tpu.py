@@ -156,3 +156,133 @@ def test_full_replay_parity_on_chip():
     got = np.asarray(replay_device(device_arrays(ds), jnp.asarray(D)))
     want = replay_structured_numpy(D, ds)
     assert np.array_equal(got, want)
+
+
+def test_w_matmul_gf256_parity_on_chip():
+    """GF(256) W path (ops/wpath.py stage_w/w_matmul, the HDPC-forced decode
+    plan) bit-exact on real hardware vs the NumPy field oracle — both the
+    128-aligned pallas dispatch and the odd-width XLA fallback."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.numpy_ops import gf_matmul
+    from nanorq_tpu.ops.wpath import stage_w, w_matmul
+
+    rng = np.random.default_rng(8)
+    for m, k, t in [(24, 256, 1280), (40, 512, 1280 * 2), (17, 128, 1000)]:
+        W = rng.integers(0, 256, (m, k), dtype=np.uint8)
+        D = rng.integers(0, 256, (k + 5, t), dtype=np.uint8)
+        st = stage_w(W, binary=False)
+        got = np.asarray(w_matmul(st, jnp.asarray(D)))[:m]
+        assert np.array_equal(got, gf_matmul(W, D[:k])), (m, k, t)
+
+
+def test_w_matmul_gf2_parity_on_chip():
+    """Binary W path (dense-form stage_w + gathered-form stage_w_gf2) on
+    chip, including a non-128-multiple width that rides the XLA fallback."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.bitplane import gf2_matmul_bytes
+    from nanorq_tpu.ops.wpath import stage_w, stage_w_gf2, w_matmul, w_matmul_gf2
+
+    rng = np.random.default_rng(9)
+    for m, k, t in [(64, 512, 1280), (33, 256, 996)]:
+        W = rng.integers(0, 2, (m, k), dtype=np.uint8)
+        D = rng.integers(0, 256, (k + 3, t), dtype=np.uint8)
+        got = np.asarray(w_matmul(stage_w(W, binary=True), jnp.asarray(D)))[:m]
+        assert np.array_equal(got, gf2_matmul_bytes(W, D[:k])), ("dense", m, k, t)
+    # gathered form: rows picked out of a taller D (take_rows under the hood)
+    m, S, kq, t = 48, 700, 512, 1280
+    W = rng.integers(0, 2, (m, kq), dtype=np.uint8)
+    rows = rng.choice(S, size=kq, replace=False).astype(np.int32)
+    D = rng.integers(0, 256, (S, t), dtype=np.uint8)
+    st = stage_w_gf2(np.packbits(W, axis=-1, bitorder="little"), rows)
+    got = np.asarray(w_matmul_gf2(st, jnp.asarray(D)))[:m]
+    assert np.array_equal(got, gf2_matmul_bytes(W, D[rows]))
+
+
+def test_w_batch_dispatch_parity_on_chip():
+    """Stacked multi-block W dispatch (_w_gf2_batch_jit/_w_gf256_batch_jit,
+    the repair_all batching path) bit-exact on chip."""
+    import jax.numpy as jnp
+
+    from nanorq_tpu.gf256.bitplane import companion_bits, gf2_matmul_bytes
+    from nanorq_tpu.gf256.numpy_ops import gf_matmul
+    from nanorq_tpu.ops.wpath import _w_gf2_batch_jit, _w_gf256_batch_jit
+
+    rng = np.random.default_rng(10)
+    nb, m, kq, Mp, t = 4, 32, 256, 300, 1280
+    bits = rng.integers(0, 256, (nb, m, kq // 8), dtype=np.uint8)
+    rows = rng.integers(0, Mp, (nb, kq)).astype(np.int32)
+    D = rng.integers(0, 256, (nb, Mp, t), dtype=np.uint8)
+    got = np.asarray(_w_gf2_batch_jit(jnp.asarray(bits), jnp.asarray(rows), jnp.asarray(D)))
+    for j in range(nb):
+        W = np.unpackbits(bits[j], axis=-1, bitorder="little")
+        assert np.array_equal(got[j], gf2_matmul_bytes(W, D[j][rows[j]])), j
+
+    k = 128
+    Wb = rng.integers(0, 256, (nb, m, k), dtype=np.uint8)
+    comp = np.stack(
+        [np.packbits(companion_bits(Wb[j]), axis=-1, bitorder="little") for j in range(nb)]
+    )
+    D2 = rng.integers(0, 256, (nb, k, t), dtype=np.uint8)
+    got2 = np.asarray(_w_gf256_batch_jit(jnp.asarray(comp), jnp.asarray(D2)))
+    for j in range(nb):
+        assert np.array_equal(got2[j], gf_matmul(Wb[j], D2[j])), j
+
+
+def test_odd_width_fallbacks_on_chip():
+    """Non-1024-aligned payload widths ride the jnp.take fallbacks in
+    ops/replay.take_rows/_select_rows and ops/lt._lt_apply_sorted; a full
+    encode->drop->repair round trip at T=96 pins them bit-exact on chip."""
+    import jax
+
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    rng = np.random.default_rng(11)
+    K, T = 1200, 96  # structured-plan territory at default knobs? K'=1281 < WPATH_MAX_KP
+    data = rng.integers(0, 256, K * T, dtype=np.uint8)
+    enc = Encoder(data.size, T, Al=1)
+    src = MemoryIO(data)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out = np.zeros(data.size, np.uint8)
+    io = MemoryIO(out)
+    gaps = np.sort(rng.choice(K, size=40, replace=False))
+    keep = np.setdiff1d(np.arange(K), gaps)
+    rep_esis = np.arange(K, K + gaps.size + 5)
+    rep_pl = enc.encode_batch(0, rep_esis, src)
+    dec.add_symbols(data.reshape(K, T)[keep], [make_tag(0, int(e)) for e in keep], io)
+    dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
+    assert dec.repair_all(io)
+    assert np.array_equal(out, data)
+
+
+def test_structured_decode_odd_width_on_chip(monkeypatch):
+    """Same odd-width round trip FORCED onto the structured replay plan
+    (device_schedule), covering its take_rows/_select_rows fallbacks."""
+    import jax
+
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+
+    monkeypatch.setattr(cc, "WPATH_MAX_KP", 0)
+    monkeypatch.setattr(cc, "WPATH_GF256_MAX_KP", 0)
+    rng = np.random.default_rng(12)
+    K, T = 500, 200
+    data = rng.integers(0, 256, K * T, dtype=np.uint8)
+    enc = Encoder(data.size, T, Al=1)
+    src = MemoryIO(data)
+    dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+    out = np.zeros(data.size, np.uint8)
+    io = MemoryIO(out)
+    gaps = np.sort(rng.choice(K, size=25, replace=False))
+    keep = np.setdiff1d(np.arange(K), gaps)
+    rep_esis = np.arange(K, K + gaps.size + 4)
+    rep_pl = enc.encode_batch(0, rep_esis, src)
+    dec.add_symbols(data.reshape(K, T)[keep], [make_tag(0, int(e)) for e in keep], io)
+    dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
+    assert dec.repair_all(io)
+    assert np.array_equal(out, data)

@@ -77,9 +77,11 @@ def test_dryrun_multichip_self_provisions():
     __graft_entry__.dryrun_multichip(2)
 
 
-def _pattern_roundtrip(K, Z, T, mesh, seed=0):
+def _pattern_roundtrip(K, Z, T, mesh, seed=0, backend="device"):
     """Public-API round trip: Z blocks, DISTINCT loss per block, repaired by
-    ONE repair_all call (stacked W batches, optionally mesh-sharded)."""
+    ONE repair_all call (stacked W batches, optionally mesh-sharded).
+    backend="device" by default — these tests pin the device dispatch
+    paths; the adaptive default would route cold patterns to the host arm."""
     from nanorq_tpu.codec.api import Decoder, Encoder
     from nanorq_tpu.codec.oti import make_tag
     from nanorq_tpu.io.ioctx import MemoryIO
@@ -100,7 +102,7 @@ def _pattern_roundtrip(K, Z, T, mesh, seed=0):
         rep_pl = enc.encode_batch(sbn, rep_esis, src)
         dec.add_symbols(payloads[sbn * K + keep], [make_tag(sbn, int(e)) for e in keep], io)
         dec.add_symbols(rep_pl, [make_tag(sbn, int(e)) for e in rep_esis], io)
-    assert dec.repair_all(io, mesh=mesh)
+    assert dec.repair_all(io, mesh=mesh, backend=backend)
     assert np.array_equal(out, data)
 
 
