@@ -33,6 +33,17 @@ SYM_IGN = 1
 SYM_DUP = 2
 SYM_ERR = -1
 
+# shared all-zeros symbol rows (per T), read-only: padding/constraint rows of
+# the patched system point here in the host arm's zero-copy row-pointer map
+_ZERO_ROWS: dict[int, np.ndarray] = {}
+
+
+def _zero_row(T: int) -> np.ndarray:
+    z = _ZERO_ROWS.get(T)
+    if z is None:
+        z = _ZERO_ROWS.setdefault(T, np.zeros(T, np.uint8))
+    return z
+
 
 class _Block:
     """Per-SBN working state (reference struct block_encoder, nanorq.c:40-47).
@@ -131,15 +142,18 @@ class _CodecBase:
             T = self.scheme.T
             base = symbol_ranges(self.scheme, sbn, 0, K)[0][0]
             es = np.asarray(esis, np.int64)
-            order = np.argsort(es, kind="stable")
-            es = es[order]
-            brk = np.nonzero(np.diff(es) != 1)[0] + 1
-            for s, e in zip(np.r_[0, brk], np.r_[brk, es.size]):
-                off = int(base + es[s] * T)
-                chunk = payloads[order[s:e]].reshape(-1)
-                length = min(chunk.size, max(0, self.scheme.F - off))
-                if length > 0:
-                    io.write_at(off, chunk[:length])
+            offs = base + es * T
+            pl = np.asarray(payloads, np.uint8)
+            F = self.scheme.F
+            full = offs + T <= F
+            if full.any():
+                # the io backend scatters row-aligned offsets vectorized
+                # (MemoryIO) or merges adjacent runs into single writes
+                io.write_rows_at(offs[full], pl[full])
+            for i in np.nonzero(~full)[0]:  # final short symbol: clamp to F
+                off = int(offs[i])
+                if off < F:
+                    io.write_at(off, pl[i][: F - off])
             return
         segs = []  # (object offset, length, payload row, payload col)
         for r, esi in enumerate(esis):
@@ -650,11 +664,35 @@ class Decoder(_CodecBase):
         sym = self._repair_launch(sbn, gaps, overhead, ds)
         return self._repair_finish(io, sbn, gaps, sym)
 
+    def _row_ptrs(self, sbn: int, gaps: np.ndarray, overhead: int, NB: int) -> np.ndarray:
+        """Per-row payload addresses of the patched system's NB rows —
+        the zero-copy analog of _repair_D for the native host arm: sources
+        point into the ingestion matrix b.D, gap/overhead slots into the
+        repair payloads, padding + constraint rows at a shared zero row.
+        Every backing buffer is owned by self._blocks[sbn] (alive across
+        the native call); the native side only READS through these."""
+        b = self._block(sbn)
+        T = self.scheme.T
+        ptrs = np.full(NB, _zero_row(T).ctypes.data, np.uint64)
+        if b.D is not None:
+            have = np.nonzero(b.got)[0]
+            ptrs[have] = np.uint64(b.D.ctypes.data) + have.astype(np.uint64) * np.uint64(
+                b.D.strides[0]
+            )
+        ng = gaps.size
+        ptrs[gaps] = np.fromiter((p.ctypes.data for _, p in b.repair[:ng]), np.uint64, ng)
+        Kp = self.P.Kp
+        ptrs[Kp : Kp + overhead] = np.fromiter(
+            (p.ctypes.data for _, p in b.repair[ng : ng + overhead]), np.uint64, overhead
+        )
+        return ptrs
+
     def _repair_host_batch(self, work):
         """CPU arm of the adaptive decode runtime: one native call fusing
         solve + substitution + LT gap combine for a batch of blocks
         (native.host_repair — the reference's nanorq_repair_block shape,
-        lib/nanorq.c:591-630, with zero device traffic).
+        lib/nanorq.c:591-630, with zero device traffic and zero payload
+        copies: the native call reads rows in place via _row_ptrs).
 
         work: [(sbn, gaps, isis, overhead)].  Returns (ok, results) with
         results = [(sbn, gaps, recovered_np)] for successful blocks;
@@ -669,8 +707,7 @@ class Decoder(_CodecBase):
         for sbn, gaps, isis, ov in work:
             rows = _cache._patched_rows(P, isis, ov)
             gap_csr = _cache._rows_subset(base, gaps)
-            D = self._repair_D(sbn, gaps, ov, len(rows))
-            items.append((rows, D, gap_csr))
+            items.append((rows, self._row_ptrs(sbn, gaps, ov, len(rows)), gap_csr))
             metas.append((sbn, gaps))
         with stats.timer("host_repair"):
             res = host_repair(P, items, T)

@@ -26,8 +26,22 @@ class IOContext:
     def write_at(self, offset: int, data) -> int:
         raise NotImplementedError
 
-    def size(self) -> int:
-        raise NotImplementedError
+    def write_rows_at(self, offsets, rows) -> None:
+        """Write uniform-length rows at the given byte offsets, clamped to
+        the object size.  Default: sort by offset and merge adjacent rows
+        into single write_at calls (an in-order burst collapses to one
+        write).  Subclasses with random-access buffers override with a
+        vectorized scatter."""
+        offsets = np.asarray(offsets, np.int64)
+        rows = np.asarray(rows, np.uint8)
+        if rows.ndim == 1:
+            rows = rows[None]
+        T = rows.shape[1]
+        order = np.argsort(offsets, kind="stable")
+        offs = offsets[order]
+        brk = np.nonzero(np.diff(offs) != T)[0] + 1
+        for s, e in zip(np.r_[0, brk], np.r_[brk, offs.size]):
+            self.write_at(int(offs[s]), rows[order[s:e]].reshape(-1))
 
     def close(self) -> None:
         pass
@@ -72,6 +86,30 @@ class MemoryIO(IOContext):
         n = min(len(d), len(self._buf) - offset)
         self._buf[offset : offset + n] = d[:n]
         return n
+
+    def write_rows_at(self, offsets, rows) -> None:
+        """Vectorized scatter: T-strided offsets (the N=1 symbol layout)
+        land as ONE fancy-index assignment into a [*, T] view of the
+        buffer; anything else falls back to the run-merging default."""
+        if not self.writable:
+            raise IOError("MemoryIO wraps a read-only buffer (pass a bytearray or writable array to decode into)")
+        offsets = np.asarray(offsets, np.int64)
+        rows = np.asarray(rows, np.uint8)
+        if rows.ndim == 1:
+            rows = rows[None]
+        T = rows.shape[1]
+        end = len(self._buf)
+        full = offsets + T <= end
+        offs = offsets[full]
+        if offs.size:
+            r0 = int(offs.min())
+            if np.all((offs - r0) % T == 0):
+                span = int(offs.max()) - r0 + T
+                self._buf[r0 : r0 + span].reshape(-1, T)[(offs - r0) // T] = rows[full]
+            else:
+                super().write_rows_at(offs, rows[full])
+        for i in np.nonzero(~full)[0]:  # clamped tail rows (final short symbol)
+            self.write_at(int(offsets[i]), rows[i])
 
     def size(self) -> int:
         return len(self._buf)

@@ -50,7 +50,7 @@ def _build(build_dir: str, srchash: str) -> bool:
         os.makedirs(build_dir, exist_ok=True)
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-o", lib_path + ".tmp", _SRC,
+            "-pthread", "-o", lib_path + ".tmp", _SRC,
         ]
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode != 0:
@@ -147,7 +147,8 @@ def get_lib():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32,
                 i32p, i64p, i32p, i64p, i32p, u8p,
-                u64p, i64p, i32p, i64p, i32p, i64p, i32p, u64p, i32p,
+                i64p, u64p, i32p, i64p, i32p, i64p, i32p, u64p, i32p,
+                ctypes.c_int32,
             ]
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.nrq_tri_plan.restype = ctypes.c_void_p
@@ -423,27 +424,32 @@ def tri_fill_native(Lpad, CB, dep_k, dep_pos, layout_tri):
     return True, posmap, tinv, segments, counts
 
 
-def host_repair(P, items, T: int):
+def host_repair(P, items, T: int, nthreads: int = 0):
     """Batched host-side block repair (nrq_host_repair): the adaptive
     runtime's CPU arm — solve + substitution + LT gap combine fused in one
     native call, no device traffic.
 
-    items: [(rows_csr, D, gap_csr)] per block, same K':
+    items: [(rows_csr, row_ptrs, gap_csr)] per block, same K':
       rows_csr — CSRRows of the patched binary system (cache._patched_rows)
-      D        — np.uint8 [>= NB, T] patched payload matrix (Decoder._repair_D)
+      row_ptrs — np.uint64 [NB] per-ROW payload addresses (each T readable
+                 bytes; rows are only read).  The CALLER must keep every
+                 backing buffer alive across the call.
       gap_csr  — CSRRows of the gap ESIs' LT rows (cache._rows_subset)
 
     Returns (outs, statuses): outs[b] is np.uint8 [ngaps, T] (valid iff
     statuses[b] == 0); statuses: 0 ok, 1 rank-deficient (decode failure —
     feed more symbols and retry).  HDPC-pivot factorizations (overhead < H)
-    are handled natively via the GF(256) nibble-LUT axpy.  None if the
-    native library is unavailable.
+    are handled natively via the GF(256) nibble-LUT axpy.  nthreads > 1
+    fans blocks over that many native threads (0 = env NANORQ_HOST_THREADS,
+    default 1).  None if the native library is unavailable.
     """
     lib = get_lib()
     if lib is None:
         return None
     from nanorq_tpu.precode.matrix import hdpc_full_rows
 
+    if not nthreads:
+        nthreads = int(os.environ.get("NANORQ_HOST_THREADS", "1"))
     nb = len(items)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -456,10 +462,12 @@ def host_repair(P, items, T: int):
     rc = [np.ascontiguousarray(r.cols, np.int32) for r, _, _ in items]
     gp = [np.ascontiguousarray(g.ptr, np.int32) for _, _, g in items]
     gc = [np.ascontiguousarray(g.cols, np.int32) for _, _, g in items]
+    dp = [np.ascontiguousarray(p, np.uint64) for _, p, _ in items]
     row_ptr_all = np.concatenate(rp)
     row_cols_all = np.concatenate(rc) if any(a.size for a in rc) else np.zeros(1, np.int32)
     gap_ptr_all = np.concatenate(gp)
     gap_cols_all = np.concatenate(gc) if any(a.size for a in gc) else np.zeros(1, np.int32)
+    rowp_all = np.concatenate(dp)
 
     def offs(parts):
         o = np.zeros(nb, np.int64)
@@ -468,12 +476,10 @@ def host_repair(P, items, T: int):
 
     rp_off, rc_off = offs(rp), offs(rc)
     gp_off, gc_off = offs(gp), offs(gc)
+    dp_off = offs(dp)
 
-    Ds = [np.ascontiguousarray(D, np.uint8) for _, D, _ in items]
     ngaps = np.fromiter((len(g) for _, _, g in items), np.int32, nb)
     outs = [np.empty((int(n), T), np.uint8) for n in ngaps]
-    D_ptrs = np.fromiter((d.ctypes.data for d in Ds), np.uint64, nb)
-    d_strides = np.fromiter((d.strides[0] for d in Ds), np.int64, nb)
     out_ptrs = np.fromiter((o.ctypes.data for o in outs), np.uint64, nb)
     statuses = np.empty(nb, np.int32)
 
@@ -483,11 +489,12 @@ def host_repair(P, items, T: int):
         rp_off.ctypes.data_as(i64p), row_ptr_all.ctypes.data_as(i32p),
         rc_off.ctypes.data_as(i64p), row_cols_all.ctypes.data_as(i32p),
         hdpc.ctypes.data_as(u8p),
-        D_ptrs.ctypes.data_as(u64p), d_strides.ctypes.data_as(i64p),
+        dp_off.ctypes.data_as(i64p), rowp_all.ctypes.data_as(u64p),
         ngaps.ctypes.data_as(i32p),
         gp_off.ctypes.data_as(i64p), gap_ptr_all.ctypes.data_as(i32p),
         gc_off.ctypes.data_as(i64p), gap_cols_all.ctypes.data_as(i32p),
         out_ptrs.ctypes.data_as(u64p),
         statuses.ctypes.data_as(i32p),
+        nthreads,
     )
     return outs, statuses

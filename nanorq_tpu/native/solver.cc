@@ -21,6 +21,7 @@
 #include <cstring>
 #include <ctime>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -1483,119 +1484,146 @@ inline void rxor(uint8_t* __restrict dst, const uint8_t* __restrict src, int n) 
 
 }  // namespace
 
+namespace {
+
+// One block's repair: solve + substitution + LT gap combine.  Payload rows
+// are addressed through rowp[] (per-row pointers into the decoder's live
+// ingestion state — zero-copy; rows are only ever READ).
+void host_repair_block(
+    int L, int W, int S, int H, int T, int NB,
+    const int32_t* row_ptr, const int32_t* row_cols, const uint8_t* hdpc,
+    const uint64_t* rowp, int ng, const int32_t* gptr, const int32_t* gcols,
+    uint8_t* outp, int32_t* status,
+    std::vector<uint8_t>& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
+    std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof) {
+  *status = 3;
+  void* h = nrq_solve(NB, L, W, S, H, row_ptr, row_cols, hdpc);
+  Solver* sv = (Solver*)h;
+  if (sv->status) {
+    *status = 1;
+    nrq_free(h);
+    return;
+  }
+  const int i = (int)sv->piv_rows.size();
+  const int u = L - i;
+  auto ROW = [&](int r) { return (const uint8_t*)(uintptr_t)rowp[r]; };
+  for (int c = 0; c < L; c++) pivpos[c] = -1, ucolof[c] = -1;
+  for (int k = 0; k < i; k++) pivpos[sv->piv_cols[k]] = k;
+  for (int j = 0; j < u; j++) ucolof[sv->u_cols[j]] = j;
+
+  z.resize((size_t)std::max(i, 1) * T);
+  rhs.resize((size_t)std::max(u, 1) * T);
+  xu.resize((size_t)std::max(u, 1) * T);
+  auto Z = [&](int k) { return z.data() + (size_t)k * T; };
+  auto RHS = [&](int s) { return rhs.data() + (size_t)s * T; };
+  auto XU = [&](int j) { return xu.data() + (size_t)j * T; };
+
+  // stage 1: z = T^-1 y (tri edges ascending in k)
+  for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
+  const size_t nte = sv->tri_ek.size();
+  for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+
+  // stage 2: Schur RHS over the selected dense-pivot rows order[i..i+u)
+  for (int s = 0; s < u; s++) {
+    int r = sv->order[i + s];
+    if (r >= NB) {  // HDPC constraint row: zero payload, GF(256) coeffs
+      if (!sv->hdpc_used) { nrq_free(h); return; }
+      const uint8_t* ah = hdpc + (size_t)(r - NB) * L;
+      memset(RHS(s), 0, T);
+      for (int k = 0; k < i; k++) {
+        uint8_t beta = ah[sv->piv_cols[k]];
+        if (beta) row_axpy(RHS(s), Z(k), beta, T);
+      }
+      continue;
+    }
+    memcpy(RHS(s), ROW(r), T);
+    for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+      int p = pivpos[row_cols[e]];
+      if (p >= 0) rxor(RHS(s), Z(p), T);
+    }
+  }
+
+  // stage 3: xu = vinv . rhs (binary inverse or GF(256), same loop)
+  for (int j = 0; j < u; j++) {
+    uint8_t* out = XU(j);
+    memset(out, 0, T);
+    const uint8_t* vrow = sv->vinv.data() + (size_t)j * u;
+    for (int m = 0; m < u; m++) {
+      uint8_t beta = vrow[m];
+      if (beta == 1) rxor(out, RHS(m), T);
+      else if (beta) row_axpy(out, RHS(m), beta, T);
+    }
+  }
+
+  // stage 4: xa = T^-1 (y ^ Ut xu), reusing the z buffer
+  for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
+  const size_t nue = sv->ut_ek.size();
+  for (size_t e = 0; e < nue; e++) rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
+  for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+
+  // stage 5: gap outputs = XOR C[cols] with C addressed through the maps
+  for (int g = 0; g < ng; g++) {
+    uint8_t* o = outp + (size_t)g * T;
+    memset(o, 0, T);
+    for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
+      int c = gcols[e];
+      int p = pivpos[c];
+      rxor(o, p >= 0 ? Z(p) : XU(ucolof[c]), T);
+    }
+  }
+  *status = 0;
+  nrq_free(h);
+}
+
+}  // namespace
+
 extern "C" {
 
 // Per-block arrays are concatenated; *_off give each block's start.  All
-// blocks share (L, W, S, H, T) — one K' per call.  D_ptrs/out_ptrs are raw
-// addresses of per-block row-major uint8 payload matrices.
+// blocks share (L, W, S, H, T) — one K' per call.  rowp_all holds per-block
+// arrays of NB per-ROW payload pointers (zero-copy: sources point into the
+// decoder's ingestion matrix, gap/overhead slots into the repair payloads,
+// constraint/padding rows at a shared zero row); out_ptrs are raw addresses
+// of per-block [ngaps, T] output matrices.
 // statuses[b]: 0 ok, 1 rank-deficient, 3 internal inconsistency (never
-// expected).
+// expected).  nthreads > 1 partitions blocks across that many threads
+// (blocks are independent; the solver and tables are reentrant/read-only).
 void nrq_host_repair(
     int32_t nb, int32_t L, int32_t W, int32_t S, int32_t H, int32_t T,
     const int32_t* NBs,
     const int64_t* rp_off, const int32_t* row_ptr_all,
     const int64_t* rc_off, const int32_t* row_cols_all,
     const uint8_t* hdpc,
-    const uint64_t* D_ptrs, const int64_t* d_strides,
+    const int64_t* dp_off, const uint64_t* rowp_all,
     const int32_t* ngaps,
     const int64_t* gp_off, const int32_t* gap_ptr_all,
     const int64_t* gc_off, const int32_t* gap_cols_all,
     const uint64_t* out_ptrs,
-    int32_t* statuses) {
-  std::vector<uint8_t> z, rhs, xu;
-  std::vector<int32_t> pivpos(L), ucolof(L);
-  for (int b = 0; b < nb; b++) {
-    statuses[b] = 3;
-    const int NB = NBs[b];
-    const int32_t* row_ptr = row_ptr_all + rp_off[b];
-    const int32_t* row_cols = row_cols_all + rc_off[b];
-    void* h = nrq_solve(NB, L, W, S, H, row_ptr, row_cols, hdpc);
-    Solver* sv = (Solver*)h;
-    if (sv->status) {
-      statuses[b] = 1;
-      nrq_free(h);
-      continue;
+    int32_t* statuses, int32_t nthreads) {
+  auto run_range = [&](int b0, int b1) {
+    std::vector<uint8_t> z, rhs, xu;
+    std::vector<int32_t> pivpos(L), ucolof(L);
+    for (int b = b0; b < b1; b++) {
+      host_repair_block(
+          L, W, S, H, T, NBs[b],
+          row_ptr_all + rp_off[b], row_cols_all + rc_off[b], hdpc,
+          rowp_all + dp_off[b], ngaps[b], gap_ptr_all + gp_off[b],
+          gap_cols_all + gc_off[b], (uint8_t*)(uintptr_t)out_ptrs[b],
+          statuses + b, z, rhs, xu, pivpos, ucolof);
     }
-    const int i = (int)sv->piv_rows.size();
-    const int u = L - i;
-    const uint8_t* D = (const uint8_t*)(uintptr_t)D_ptrs[b];
-    const int64_t ds = d_strides[b];
-    for (int c = 0; c < L; c++) pivpos[c] = -1, ucolof[c] = -1;
-    for (int k = 0; k < i; k++) pivpos[sv->piv_cols[k]] = k;
-    for (int j = 0; j < u; j++) ucolof[sv->u_cols[j]] = j;
-
-    z.resize((size_t)std::max(i, 1) * T);
-    rhs.resize((size_t)std::max(u, 1) * T);
-    xu.resize((size_t)std::max(u, 1) * T);
-    auto Z = [&](int k) { return z.data() + (size_t)k * T; };
-    auto RHS = [&](int s) { return rhs.data() + (size_t)s * T; };
-    auto XU = [&](int j) { return xu.data() + (size_t)j * T; };
-
-    // stage 1: z = T^-1 y (tri edges ascending in k)
-    for (int k = 0; k < i; k++) memcpy(Z(k), D + (size_t)sv->piv_rows[k] * ds, T);
-    const size_t nte = sv->tri_ek.size();
-    for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
-
-    // stage 2: Schur RHS over the selected dense-pivot rows order[i..i+u)
-    bool bad = false;
-    for (int s = 0; s < u; s++) {
-      int r = sv->order[i + s];
-      if (r >= NB) {  // HDPC constraint row: zero payload, GF(256) coeffs
-        if (!sv->hdpc_used) { bad = true; break; }
-        const uint8_t* ah = hdpc + (size_t)(r - NB) * L;
-        memset(RHS(s), 0, T);
-        for (int k = 0; k < i; k++) {
-          uint8_t beta = ah[sv->piv_cols[k]];
-          if (beta) row_axpy(RHS(s), Z(k), beta, T);
-        }
-        continue;
-      }
-      memcpy(RHS(s), D + (size_t)r * ds, T);
-      for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
-        int p = pivpos[row_cols[e]];
-        if (p >= 0) rxor(RHS(s), Z(p), T);
-      }
-    }
-    if (bad) {
-      nrq_free(h);
-      continue;
-    }
-
-    // stage 3: xu = vinv . rhs (binary inverse or GF(256), same loop)
-    for (int j = 0; j < u; j++) {
-      uint8_t* out = XU(j);
-      memset(out, 0, T);
-      const uint8_t* vrow = sv->vinv.data() + (size_t)j * u;
-      for (int m = 0; m < u; m++) {
-        uint8_t beta = vrow[m];
-        if (beta == 1) rxor(out, RHS(m), T);
-        else if (beta) row_axpy(out, RHS(m), beta, T);
-      }
-    }
-
-    // stage 4: xa = T^-1 (y ^ Ut xu), reusing the z buffer
-    for (int k = 0; k < i; k++) memcpy(Z(k), D + (size_t)sv->piv_rows[k] * ds, T);
-    const size_t nue = sv->ut_ek.size();
-    for (size_t e = 0; e < nue; e++) rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
-    for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
-
-    // stage 5: gap outputs = XOR C[cols] with C addressed through the maps
-    const int ng = ngaps[b];
-    const int32_t* gptr = gap_ptr_all + gp_off[b];
-    const int32_t* gcols = gap_cols_all + gc_off[b];
-    uint8_t* outp = (uint8_t*)(uintptr_t)out_ptrs[b];
-    for (int g = 0; g < ng; g++) {
-      uint8_t* o = outp + (size_t)g * T;
-      memset(o, 0, T);
-      for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
-        int c = gcols[e];
-        int p = pivpos[c];
-        rxor(o, p >= 0 ? Z(p) : XU(ucolof[c]), T);
-      }
-    }
-    statuses[b] = 0;
-    nrq_free(h);
+  };
+  int nt = std::min<int>(std::max<int>(nthreads, 1), nb);
+  if (nt <= 1) {
+    run_range(0, nb);
+    return;
   }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int w = 0; w < nt; w++) {
+    int b0 = (int)((int64_t)nb * w / nt), b1 = (int)((int64_t)nb * (w + 1) / nt);
+    workers.emplace_back(run_range, b0, b1);
+  }
+  for (auto& t : workers) t.join();
 }
 
 }  // extern "C"
