@@ -127,31 +127,24 @@ def bench_decode0(K, T, blocks, iters):
     return 8 * F / best / 1e9
 
 
-def bench_decode_pipe(K, T, nblocks, iters):
-    """Multi-block end-to-end decode: nblocks blocks, DISTINCT loss patterns.
+def bench_decode_e2e(K, T, nblocks, iters, arms=("auto",)):
+    """Honest end-to-end fresh-pattern decode through the PRODUCTION path.
 
-    This is the honest fresh-pattern decode number (`decode_e2e`): every
-    block pays its per-pattern host solve + schedule upload + replay inside
-    the timed region, exactly the work the reference times per run in
-    nanorq_repair_block (benchmark.c:143-151, invert included).  repair_all's
-    pipeline shape: per-pattern host solves stream through one worker thread
-    (the native solver releases the GIL) while this thread owns the device
-    queue, so solve(i+1) overlaps replay(i).  Payload staging and
-    recovered-byte fetch are excluded — the analog of the reference keeping
-    add_symbol ingestion outside its timed region.  One sync closes the
-    region; its measured round-trip is subtracted.  The serial baseline runs
-    the same solves inline (no overlap) with the same single sync, so the
-    speedup ratio isolates exactly the solve/replay overlap.  Every
-    iteration clears the decoder schedule cache so all patterns pay real
-    solves.
+    nblocks blocks with DISTINCT ~6% loss patterns + 5% overhead, repaired
+    by ONE Decoder.repair_all call — the timed region is exactly repair_all
+    (per-pattern prep + solves + recovery + write-through), matching the
+    reference's per-run nanorq_repair_block timing (benchmark.c:143-151,
+    invert included), with add_symbol ingestion outside the region just as
+    the reference keeps it.  All per-pattern decoder caches are cleared
+    every iteration so each pattern pays its real work; the adaptive
+    runtime picks its arms exactly as production would ("auto": cold
+    patterns on the native host arm, warm plans on device).  Returns
+    {arm: Gbps}.
     """
-    import jax.numpy as jnp
-
     from nanorq_tpu.codec import cache as cc
     from nanorq_tpu.codec.api import Decoder, Encoder
     from nanorq_tpu.codec.oti import make_tag
     from nanorq_tpu.io.ioctx import MemoryIO
-    from nanorq_tpu.precode.device_schedule import _pad_rows
 
     rng = np.random.default_rng(7)
     F = K * T * nblocks
@@ -164,78 +157,34 @@ def bench_decode_pipe(K, T, nblocks, iters):
         gaps = np.nonzero(rng.random(K) < 0.06)[0]
         nrep = gaps.size + max(1, int(0.05 * K))
         rep_esis = np.arange(K, K + nrep)
-        per_block.append((gaps, rep_esis, enc.encode_batch(sbn, rep_esis, src)))
+        keep = np.setdiff1d(np.arange(K), gaps)
+        per_block.append((keep, rep_esis, enc.encode_batch(sbn, rep_esis, src)))
+
+    out = np.zeros(F, np.uint8)  # one buffer, like the reference's run loop
 
     def fresh_decoder():
         dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
-        out = np.zeros(F, np.uint8)
+        out[:] = 0
         io = MemoryIO(out)
-        for sbn, (gaps, rep_esis, rep_pl) in enumerate(per_block):
-            keep = np.setdiff1d(np.arange(K), gaps)
+        for sbn, (keep, rep_esis, rep_pl) in enumerate(per_block):
             dec.add_symbols(payloads[sbn * K + keep], [make_tag(sbn, int(e)) for e in keep], io)
             dec.add_symbols(rep_pl, [make_tag(sbn, int(e)) for e in rep_esis], io)
-        return dec, out, io
+        return dec, io
 
-    salt = [0]
-
-    def sync4(sym):  # fresh 4-byte slice each call (defeats relay caching)
-        salt[0] = (salt[0] + 4) % 60
-        s = salt[0]
-        _ = np.asarray(sym[0, s : s + 4])
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    dec, out, io = fresh_decoder()
-    # pre-stage each block's patched payload matrix on device (M_pad is
-    # canonical given K' and the overhead count, so no solve is needed)
-    staged = []
-    for sbn in range(nblocks):
-        prep = dec._repair_prepare(sbn)
-        if isinstance(prep, bool):  # lossless block: nothing to stage
-            continue
-        gaps, isis, ov = prep
-        D_dev = jnp.asarray(dec._repair_D(sbn, gaps, ov, _pad_rows(dec.P.L + ov + 1)))
-        D_dev.block_until_ready()
-        staged.append((sbn, gaps, isis, ov, D_dev))
-
-    sync_s = min(measure_sync(sync4, staged[0][4]) for _ in range(3))
-    best_pipe = best_serial = float("inf")
-    launched = None
-    for it in range(max(2, iters)):
-        # production repair_all shape (codec/api.py _repair_pipeline):
-        # one solver thread streams pattern solves; this thread owns the
-        # device queue (upload + dispatch), so solve(i+1) overlaps upload(i)
-        cc.clear_decoder_cache()
-        t0 = time.time()
-        launched = []
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            futs = [
-                (s, g, ov, Dd, ex.submit(cc.decoder_plan, dec.P, i, ov))
-                for s, g, i, ov, Dd in staged
-            ]
-            for s, g, ov, Dd, fut in futs:
-                launched.append((s, g, dec._repair_launch(s, g, ov, fut.result(), Dd)))
-        # single-device dispatch completes in order, so the last launch's
-        # sync covers every block; the measured sync round-trip is
-        # subtracted from both arms
-        sync4(launched[-1][2])
-        best_pipe = min(best_pipe, time.time() - t0 - sync_s)
-
-        # serial baseline: identical work, solves inline (no overlap), same
-        # single closing sync — the ratio isolates the solve/replay overlap
-        cc.clear_decoder_cache()
-        t0 = time.time()
-        last = None
-        for sbn, gaps, isis, ov, Dd in staged:
-            ds = cc.decoder_plan(dec.P, isis, ov)
-            last = dec._repair_launch(sbn, gaps, ov, ds, Dd)
-        sync4(last)
-        best_serial = min(best_serial, time.time() - t0 - sync_s)
-
-    for sbn, gaps, sym in launched:  # verify via the normal finish path
-        assert dec._repair_finish(io, sbn, gaps, sym)
-    assert np.array_equal(out, data), "decode_pipe verification FAILED"
-    return 8 * F / best_pipe / 1e9, best_serial / best_pipe
+    res = {}
+    for arm in arms:
+        best = float("inf")
+        for _ in range(max(2, iters)):
+            dec, io = fresh_decoder()
+            cc.clear_decoder_cache()
+            t0 = time.time()
+            ok = dec.repair_all(io, backend=None if arm == "auto" else arm)
+            dt = time.time() - t0
+            assert ok, f"decode_e2e repair failed ({arm})"
+            assert np.array_equal(out, data), f"decode_e2e verification FAILED ({arm})"
+            best = min(best, dt)
+        res[arm] = 8 * F / best / 1e9
+    return res
 
 
 def bench_K(K, T, blocks, iters, rng, dec_blocks=0):
@@ -477,6 +426,11 @@ def main():
         help="skip the fresh-pattern decode_e2e measurement (vs_ref then "
         "falls back to the warm-plan decode column)",
     )
+    ap.add_argument(
+        "--arms", action="store_true",
+        help="also measure decode_e2e per execution arm (host / device) "
+        "alongside the production auto policy",
+    )
     ap.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
     args = ap.parse_args()
     ks = [100, 500, 1000, 5000, 10000, 50000] if args.full else args.ks
@@ -517,11 +471,15 @@ def main():
         dec_blocks = min(args.dec_blocks, max(1, (256 << 20) // (K * args.T))) if args.dec_blocks else 0
         r = bench_K(K, args.T, blocks, iters, rng, dec_blocks=dec_blocks)
         if not args.no_pipe:
-            # decode_e2e: fresh-pattern pipelined decode, per-pattern solves
-            # + schedule uploads inside the timed region, for EVERY K.  Block
-            # counts sized so the region dominates the sync round-trip.
+            # decode_e2e: fresh-pattern decode through the production
+            # repair_all (adaptive arms), per-pattern work fully inside the
+            # timed region, for EVERY K.
             nb = E2E_BLOCKS.get(K) or max(4, min(128, (64 << 20) // (K * args.T)))
-            r["decode_e2e"], r["pipe_speedup"] = bench_decode_pipe(K, args.T, nb, 3)
+            arms = ("auto", "host", "device") if args.arms else ("auto",)
+            e2e = bench_decode_e2e(K, args.T, nb, 3, arms=arms)
+            r["decode_e2e"] = e2e["auto"]
+            if args.arms:
+                r["e2e_host"], r["e2e_device"] = e2e["host"], e2e["device"]
             r["agg_e2e"] = 1.0 / (1.0 / r["encode"] + 1.0 / r["decode_e2e"])
         base = REF_BASELINE.get(K)
         if base:
@@ -545,8 +503,8 @@ def main():
             f"agg {r['agg']:.2f}/e2e {r.get('agg_e2e', 0):.2f} Gbps ({r.get('vs_ref', 0):.2f}x), "
             f"solve {r['solve_ms']:.0f}/{r['fresh_ms']:.0f}/{r['dec_solve_ms']:.0f}ms"
             + (
-                f", pipe {r['pipe_speedup']:.2f}x vs serial"
-                if "pipe_speedup" in r
+                f", arms host {r['e2e_host']:.2f} / device {r['e2e_device']:.2f}"
+                if "e2e_host" in r
                 else ""
             )
         )
