@@ -475,10 +475,14 @@ def main():
             # repair_all (adaptive arms), per-pattern work fully inside the
             # timed region, for EVERY K.
             nb = E2E_BLOCKS.get(K) or max(4, min(128, (64 << 20) // (K * args.T)))
-            arms = ("auto", "host", "device") if args.arms else ("auto",)
+            if args.arms:  # forced-res at huge K' would pay a multi-second GE
+                arms = ("auto", "res", "host", "device") if K <= 16384 else ("auto", "host", "device")
+            else:
+                arms = ("auto",)
             e2e = bench_decode_e2e(K, args.T, nb, 3, arms=arms)
             r["decode_e2e"] = e2e["auto"]
             if args.arms:
+                r["e2e_res"] = e2e.get("res", 0.0)
                 r["e2e_host"], r["e2e_device"] = e2e["host"], e2e["device"]
             r["agg_e2e"] = 1.0 / (1.0 / r["encode"] + 1.0 / r["decode_e2e"])
         base = REF_BASELINE.get(K)
@@ -503,7 +507,8 @@ def main():
             f"agg {r['agg']:.2f}/e2e {r.get('agg_e2e', 0):.2f} Gbps ({r.get('vs_ref', 0):.2f}x), "
             f"solve {r['solve_ms']:.0f}/{r['fresh_ms']:.0f}/{r['dec_solve_ms']:.0f}ms"
             + (
-                f", arms host {r['e2e_host']:.2f} / device {r['e2e_device']:.2f}"
+                f", arms res {r['e2e_res']:.2f} / host {r['e2e_host']:.2f}"
+                f" / device {r['e2e_device']:.2f}"
                 if "e2e_host" in r
                 else ""
             )

@@ -725,6 +725,91 @@ class Decoder(_CodecBase):
                 ok = False
         return ok, results
 
+    def _repair_residual_batch(self, work):
+        """Residual arm of the adaptive decode runtime: repair WITHOUT a
+        per-pattern system solve.
+
+        Against the canonical (loss-independent, cached) factorization, a
+        received repair symbol y_r = w_r . D where w_r is its canonical
+        combination row (cache.res_wrows, memoized per ISI); splitting D
+        into the received part D0 and the unknown gap rows X gives
+        y = W D0 + G X with G = W[:, gaps] a tiny nr x g GF(256) system.
+        The only per-pattern host work is G's left inverse R (native
+        res_rinv, Gauss-Jordan on [G | I]); the device work is ONE batched
+        fused dispatch X = R (y ^ W D0) (ops/wpath._res_batch_jit) whose
+        shapes are quantized so one compiled program serves every pattern
+        of a K'.  Rank-deficient G == the patched solve's rank deficiency:
+        the block fails, the caller feeds more symbols and retries.
+
+        work: [(sbn, gaps, isis, overhead)].  Returns (ok, launched) with
+        launched = [(sbn, gaps, view)] (async device views), or None when
+        the native factorization is unavailable (caller reroutes)."""
+        import jax.numpy as jnp
+
+        from nanorq_tpu.native import res_rinv
+        from nanorq_tpu.ops.wpath import _res_batch_jit
+        from nanorq_tpu.precode.device_schedule import _pad_rows
+        from nanorq_tpu.utils import stats
+
+        P, T = self.P, self.scheme.T
+        kc = _cache.res_kcols(P)
+        metas, Ws, Gs = [], [], []
+        with stats.timer("res_prep"):
+            for sbn, gaps, isis, ov in work:
+                rep_isis = np.concatenate([isis[gaps], isis[P.Kp : P.Kp + ov]])
+                W = _cache.res_wrows(P, rep_isis)
+                if W is None:
+                    return None  # no native factorization: caller reroutes
+                metas.append((sbn, gaps, ov))
+                Ws.append(W)
+                Gs.append(np.ascontiguousarray(W[:, gaps]))
+        with stats.timer("res_rinv"):
+            rr = res_rinv(Gs)
+        if rr is None:
+            return None
+        Rs, statuses = rr
+        ok = True
+        items = []
+        for meta, W, R, status in zip(metas, Ws, Rs, statuses):
+            if status == 0:
+                items.append((meta, W, R))
+            else:
+                stats.count("decode_rank_deficient")
+                stats.count("repair_block_failed")
+                ok = False
+        if not items:
+            return ok, []
+        stats.count("repair_res_blocks", len(items))
+
+        launched = []
+        for c0 in range(0, len(items), self._BATCH_FLUSH):
+            chunk = items[c0 : c0 + self._BATCH_FLUSH]
+            nb = len(chunk)
+            nb_pad = 1 << (nb - 1).bit_length() if nb > 1 else 1
+            nr_pad = _pad_rows(max(w.shape[0] for _, w, _ in chunk))
+            g_pad = _pad_rows(max(m[1].size for m, _, _ in chunk))
+            Wst = np.zeros((nb_pad, nr_pad, kc), np.uint8)
+            Rst = np.zeros((nb_pad, g_pad, nr_pad), np.uint8)
+            D0 = np.zeros((nb_pad, kc, T), np.uint8)
+            yst = np.zeros((nb_pad, nr_pad, T), np.uint8)
+            for j, ((sbn, gaps, ov), W, R) in enumerate(chunk):
+                nr, g = W.shape[0], gaps.size
+                Wst[j, :nr] = W
+                Rst[j, :g, :nr] = R
+                b = self._block(sbn)
+                if b.D is not None:
+                    n = min(b.D.shape[0], kc)
+                    D0[j, :n] = b.D[:n]
+                for r, (_, payload) in enumerate(b.repair[:nr]):
+                    yst[j, r] = payload
+            res = _BatchResult(_res_batch_jit(
+                jnp.asarray(Wst), jnp.asarray(D0), jnp.asarray(Rst), jnp.asarray(yst)
+            ))
+            launched.extend(
+                (m[0], m[1], _BatchView(res, j)) for j, (m, _, _) in enumerate(chunk)
+            )
+        return ok, launched
+
     # WSchedule blocks accumulate into stacked dispatches of up to this many
     # blocks (pow2-padded shapes bound compile diversity; chunking keeps
     # device work flowing while later solves run)
@@ -749,6 +834,13 @@ class Decoder(_CodecBase):
           reused); patterns whose device plan is already cached replay on
           device.  A mesh forces the device arm (the host arm is
           single-node).
+        - "res": the residual arm — no per-pattern system solve (canonical
+          w-rows + a tiny native G-inverse + ONE batched device dispatch,
+          _repair_residual_batch).  Explicit-only: it ships the received
+          payloads to the device per pattern, which wins exactly when the
+          host<->device link is fast (PCIe-attached TPU hosts), and loses
+          on slow links; the auto policy therefore never picks it.  Falls
+          back like "host" when the native factorization is unavailable.
         - "device": always build/replay device plans (the streaming shape).
         - "host": always the native CPU arm (falls back to device when the
           native library is unavailable).
@@ -772,18 +864,29 @@ class Decoder(_CodecBase):
             from nanorq_tpu.native import native_available
 
             if native_available():
+                res_work, host_work, dev_work = [], [], []
                 if backend == "host":
-                    host_work, dev_work = work, []
+                    host_work = work
+                elif backend == "res":
+                    res_work = work
                 else:  # auto: warm plans -> device, cold patterns -> host
-                    host_work, dev_work = [], []
                     for item in work:
                         hit, plan = _cache.decoder_plan_cached(self.P, item[2], item[3])
                         (dev_work if hit and plan is not None else host_work).append(item)
                 launched = []
+                if res_work:
+                    rres = self._repair_residual_batch(res_work)
+                    if rres is None:  # no native factorization: reroute
+                        host_work = host_work + res_work
+                    else:
+                        rok, rlaunched = rres
+                        ok = ok and rok
+                        launched.extend(rlaunched)
                 if host_work:
                     res = self._repair_host_batch(host_work)
                     if res is None:
                         dev_work = work  # native vanished mid-flight: reroute all
+                        launched = []
                     else:
                         hok, results = res
                         ok = ok and hok
@@ -860,7 +963,8 @@ class Decoder(_CodecBase):
         stacked into batched dispatches.  Pass a jax.sharding.Mesh to shard
         those batches over its first axis (per-block independence needs no
         collectives; forces the device arm).  `backend` overrides the arm:
-        "auto" (default, env NANORQ_DECODE_BACKEND) / "device" / "host".
+        "auto" (default, env NANORQ_DECODE_BACKEND) / "res" / "device" /
+        "host".
 
         Returns True iff every block is fully recovered."""
         ok, launched = self._repair_pipeline(max_workers, mesh=mesh, backend=backend)

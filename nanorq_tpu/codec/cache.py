@@ -54,13 +54,17 @@ def encoder_schedule(Kp: int, CB: int | None = None) -> DeviceSchedule:
 
 
 def clear_decoder_cache() -> None:
-    """Drop all cached per-pattern decoder schedules AND the per-ISI LT row
-    memo (benchmarks use this to force fully fresh per-pattern work — the
-    reference re-expands tuples inside its timed region; production code
-    never needs it)."""
+    """Drop all cached per-pattern decoder schedules AND the per-ISI memos
+    (LT rows, canonical w-rows) — benchmarks use this to force fully fresh
+    per-pattern work; the reference re-expands tuples and re-inverts inside
+    its timed region; production code never needs it.  The canonical
+    per-K' solve states stay (they are the decoder-side analog of the
+    encoder's loss-independent nanorq_precalculate artifact)."""
     _dec_cache.clear()
     with _lt_lock:
         _lt_cache.clear()
+    with _wrow_lock:
+        _wrow_cache.clear()
 
 
 def clear_encoder_cache() -> None:
@@ -135,6 +139,92 @@ def _lt_rows_cached(P: Params, isis: np.ndarray):
             while len(_lt_cache) > _LT_CACHE_CAP:
                 _lt_cache.popitem(last=False)
     return CSRRows.from_list(rows)
+
+
+# --- residual decode arm: canonical factorization artifacts -----------------
+#
+# The residual arm (codec/api.py _repair_residual_batch) never solves the
+# per-pattern patched system.  It needs (a) the CANONICAL solve state for K'
+# (loss independent — the decode-side twin of the encoder precalc) and
+# (b) canonical combination rows w_r with w_r . D = repair symbol r, one per
+# repair ISI, memoized per (K', ISI) because decode patterns draw their
+# repair ISIs from a small window above K.
+
+_canon_lock = Lock()
+_canon_cache: dict[int, object] = {}
+
+_wrow_lock = Lock()
+_wrow_cache: "_OrderedDict[tuple[int, int], np.ndarray]" = _OrderedDict()
+_WROW_CACHE_MB = float(os.environ.get("NANORQ_WROW_CACHE_MB", 64))
+
+
+def res_kcols(P: Params) -> int:
+    """Column count of stored canonical w-rows: gap columns and nonzero-
+    payload columns of the canonical system all lie below K' (constraint
+    rows carry zero payloads), padded to the device row grid."""
+    from nanorq_tpu.precode.device_schedule import _pad_rows
+
+    return _pad_rows(P.Kp)
+
+
+def canonical_state(P: Params):
+    """Cached canonical (encoder-system) solve state for K'.
+
+    None when the native solver is unavailable (the residual arm requires
+    its factorization artifacts — w_rows needs st.tri_edges/st.vinv)."""
+    with _canon_lock:
+        st = _canon_cache.get(P.Kp)
+    if st is not None:
+        return st if st != "unavailable" else None
+    from nanorq_tpu.utils import stats
+
+    with stats.timer("canon_solve"):
+        st = solve_state(P, _base_rows(P))
+    if st is None or getattr(st, "tri_edges", None) is None:
+        with _canon_lock:
+            _canon_cache[P.Kp] = "unavailable"
+        return None
+    with _canon_lock:
+        _canon_cache[P.Kp] = st
+    return st
+
+
+def res_wrows(P: Params, isis: np.ndarray) -> np.ndarray | None:
+    """Canonical combination rows for repair ISIs: [n, res_kcols(P)] uint8,
+    row j satisfying  row_j . D_canonical = symbol(isis[j]).  Memoized per
+    (K', ISI); None when the native factorization is unavailable."""
+    from nanorq_tpu.ops.wpath import w_rows
+    from nanorq_tpu.precode.device_schedule import _pad_rows
+    from nanorq_tpu.utils import stats
+
+    st = canonical_state(P)
+    if st is None:
+        return None
+    isis = np.asarray(isis, np.uint32)
+    kc = res_kcols(P)
+    out = np.empty((isis.size, kc), np.uint8)
+    missing = []
+    with _wrow_lock:
+        for j in range(isis.size):
+            got = _wrow_cache.get((P.Kp, int(isis[j])))
+            if got is None:
+                missing.append(j)
+            else:
+                _wrow_cache.move_to_end((P.Kp, int(isis[j])))
+                out[j] = got
+    if missing:
+        midx = np.asarray(missing, np.int64)
+        with stats.timer("res_wrows"):
+            W, _ = w_rows(st, _lt_rows_cached(P, isis[midx]), n_cols=_pad_rows(st.M + 1))
+        rows = np.ascontiguousarray(W[:, :kc])
+        out[midx] = rows
+        cap = max(1, int(_WROW_CACHE_MB * (1 << 20) / kc))
+        with _wrow_lock:
+            for mi, j in enumerate(missing):
+                _wrow_cache[(P.Kp, int(isis[j]))] = rows[mi]
+            while len(_wrow_cache) > cap:
+                _wrow_cache.popitem(last=False)
+    return out
 
 
 def _patched_rows(P: Params, isis: np.ndarray, overhead: int):

@@ -150,6 +150,11 @@ def get_lib():
                 i64p, u64p, i32p, i64p, i32p, i64p, i32p, u64p, i32p,
                 ctypes.c_int32,
             ]
+            lib.nrq_res_rinv.restype = None
+            lib.nrq_res_rinv.argtypes = [
+                ctypes.c_int32, i32p, i32p, i64p, u8p, i64p, u8p, i32p,
+                ctypes.c_int32,
+            ]
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.nrq_tri_plan.restype = ctypes.c_void_p
             lib.nrq_tri_plan.argtypes = [
@@ -498,3 +503,44 @@ def host_repair(P, items, T: int, nthreads: int = 0):
         nthreads,
     )
     return outs, statuses
+
+
+def res_rinv(Gs: list, nthreads: int = 0):
+    """Batched GF(256) left inverses for the residual decode arm
+    (nrq_res_rinv): for each G [nr_b, g_b] find R [g_b, nr_b] with
+    R G = I (supported on g_b independent rows of G).
+
+    Returns (Rs, statuses) — Rs[b] valid iff statuses[b] == 0 (1 =
+    rank-deficient: the same decode failure the patched solve would
+    surface; feed more symbols and retry).  None if the native library is
+    unavailable (the caller reroutes to another arm).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not nthreads:
+        nthreads = int(os.environ.get("NANORQ_HOST_THREADS", "1"))
+    nb = len(Gs)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    nrs = np.fromiter((G.shape[0] for G in Gs), np.int32, nb)
+    gs = np.fromiter((G.shape[1] for G in Gs), np.int32, nb)
+    sizes = (nrs.astype(np.int64) * gs)
+    g_off = np.zeros(nb, np.int64)
+    g_off[1:] = np.cumsum(sizes[:-1])
+    G_all = np.concatenate([np.ascontiguousarray(G, np.uint8).reshape(-1) for G in Gs]) \
+        if int(sizes.sum()) else np.zeros(1, np.uint8)
+    R_all = np.empty(max(int(sizes.sum()), 1), np.uint8)
+    statuses = np.empty(nb, np.int32)
+    lib.nrq_res_rinv(
+        nb, nrs.ctypes.data_as(i32p), gs.ctypes.data_as(i32p),
+        g_off.ctypes.data_as(i64p), G_all.ctypes.data_as(u8p),
+        g_off.ctypes.data_as(i64p), R_all.ctypes.data_as(u8p),
+        statuses.ctypes.data_as(i32p), nthreads,
+    )
+    Rs = [
+        R_all[int(o) : int(o) + int(n)].reshape(int(g), int(r))
+        for o, n, g, r in zip(g_off, sizes, gs, nrs)
+    ]
+    return Rs, statuses

@@ -1626,4 +1626,86 @@ void nrq_host_repair(
   for (auto& t : workers) t.join();
 }
 
+// ---------------------------------------------------------------------------
+// Residual decode arm: per-pattern left inverse of the tiny gap system.
+//
+// The residual arm (codec/api.py _repair_residual_batch) decodes a lossy
+// block as  X = R (y ^ W D0)  against the CANONICAL (loss-independent)
+// factorization: W holds the canonical combination rows of the received
+// repair ISIs, G = W[:, gap columns] is the nr x g GF(256) system relating
+// the unknown gap payloads X to the repair residuals, and R [g, nr] is a
+// left inverse (R G = I_g) supported on g independent rows of G.  This
+// routine computes R per block by Gauss-Jordan over GF(256) on the
+// augmented [G | I_nr] (nibble-LUT row_axpy), batched over blocks.  A block
+// whose G has column rank < g is rank-deficient — the same failure (and
+// retry semantics) the patched-system solve would hit
+// (reference precode_matrix_invert returning NULL, lib/precode.c:368-370).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// One block: G [nr, g] row-major -> R [g, nr] row-major; 0 ok, 1 rank-def.
+int res_rinv_block(int nr, int g, const uint8_t* G, uint8_t* R,
+                   std::vector<uint8_t>& scratch) {
+  const int w = g + nr;  // augmented width
+  scratch.assign((size_t)nr * w, 0);
+  auto A = [&](int r) { return scratch.data() + (size_t)r * w; };
+  for (int r = 0; r < nr; r++) {
+    memcpy(A(r), G + (size_t)r * g, g);
+    A(r)[g + r] = 1;
+  }
+  for (int s = 0; s < g; s++) {
+    int piv = -1;
+    for (int r = s; r < nr; r++)
+      if (A(r)[s]) { piv = r; break; }
+    if (piv < 0) return 1;
+    if (piv != s)
+      for (int j = 0; j < w; j++) std::swap(A(s)[j], A(piv)[j]);
+    uint8_t inv = OCT_INV[A(s)[s]];
+    if (inv != 1) {
+      const uint8_t* mul = GF_MUL[inv];
+      uint8_t* row = A(s);
+      for (int j = 0; j < w; j++) row[j] = mul[row[j]];
+    }
+    for (int r = 0; r < nr; r++) {
+      if (r == s) continue;
+      uint8_t beta = A(r)[s];
+      if (!beta) continue;
+      if (beta == 1) rxor(A(r), A(s), w);
+      else row_axpy(A(r), A(s), beta, w);
+    }
+  }
+  for (int s = 0; s < g; s++) memcpy(R + (size_t)s * nr, A(s) + g, nr);
+  return 0;
+}
+
+}  // namespace
+
+// Per-block G matrices are concatenated (g_off elements into G_all); R_all
+// receives the concatenated [g_b, nr_b] outputs at r_off.  statuses[b]:
+// 0 ok, 1 rank-deficient.  nthreads > 1 partitions blocks (independent).
+void nrq_res_rinv(int32_t nb, const int32_t* nrs, const int32_t* gs,
+                  const int64_t* g_off, const uint8_t* G_all,
+                  const int64_t* r_off, uint8_t* R_all,
+                  int32_t* statuses, int32_t nthreads) {
+  auto run_range = [&](int b0, int b1) {
+    std::vector<uint8_t> scratch;
+    for (int b = b0; b < b1; b++)
+      statuses[b] = res_rinv_block(nrs[b], gs[b], G_all + g_off[b],
+                                   R_all + r_off[b], scratch);
+  };
+  int nt = std::min<int>(std::max<int>(nthreads, 1), nb);
+  if (nt <= 1) {
+    run_range(0, nb);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int w = 0; w < nt; w++) {
+    int b0 = (int)((int64_t)nb * w / nt), b1 = (int)((int64_t)nb * (w + 1) / nt);
+    workers.emplace_back(run_range, b0, b1);
+  }
+  for (auto& t : workers) t.join();
+}
+
 }  // extern "C"

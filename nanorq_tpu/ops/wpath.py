@@ -350,6 +350,51 @@ def w_stack_gf256(plans: list) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Residual decode arm: X = R (y ^ W D0), one fused batched dispatch.
+#
+# W [nb, nr, k] holds per-block CANONICAL repair-ISI combination rows
+# (cache.res_wrows) over the source-region payload columns, D0 [nb, k, T]
+# the received payloads (gap rows zero), y [nb, nr, T] the received repair
+# payloads, and R [nb, g, nr] the host-computed tiny left inverses
+# (native res_rinv).  Both products are GF(256): the companion bit-planes
+# are built ON DEVICE from the raw byte matrices (an 8x upload saving —
+# the xtime chain and bit unpack are a few cheap VPU ops), then run as the
+# same bit-plane MXU matmuls the stacked W path uses.  Zero-padded rows/
+# blocks are exact no-ops over GF arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _companion_dev(W):
+    """Device companion bits: W [m, k] uint8 -> [8m, 8k] uint8 0/1 with
+    comp[8r+o, 8c+b] = bit_o(W[r,c] (x) alpha^b)  (bitplane.companion_bits
+    layout, built via the GF(256) xtime chain instead of a table gather)."""
+    import jax.numpy as jnp
+
+    prods = [W]
+    for _ in range(7):
+        a = prods[-1]
+        nxt = (a << 1) ^ jnp.where((a & 0x80) != 0, jnp.uint8(0x1D), jnp.uint8(0))
+        prods.append(nxt.astype(jnp.uint8))
+    prod = jnp.stack(prods, axis=-1)  # [m, k, b]
+    bits = (prod[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)  # [m,k,b,o]
+    m, k = W.shape
+    return bits.transpose(0, 3, 1, 2).reshape(8 * m, 8 * k)
+
+
+@jax.jit
+def _res_batch_jit(W, D0, R, y):
+    """W [nb, nr, k], D0 [nb, k, T], R [nb, g, nr], y [nb, nr, T] ->
+    X [nb, g, T]: rows [:g_b] of block b are its recovered gap payloads."""
+    from nanorq_tpu.ops import gfmat
+
+    def one(w, d, r, yy):
+        yhat = gfmat.gf256_matmul_bits(_companion_dev(w), d)
+        return gfmat.gf256_matmul_bits(_companion_dev(r), yhat ^ yy)
+
+    return jax.vmap(one)(W, D0, R, y)
+
+
+# ---------------------------------------------------------------------------
 # Device execution: out = W (x) D, one matmul
 # ---------------------------------------------------------------------------
 
