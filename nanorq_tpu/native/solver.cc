@@ -78,13 +78,77 @@ struct TablesInit {
   }
 } tables_init_;
 
+#if defined(__GFNI__) && defined(__AVX512F__) && defined(__AVX512BW__)
+// GFNI constant-multiply: beta (x) x over GF(2^8)/0x11D is GF(2)-linear in
+// x, so it is one vgf2p8affineqb with the 8x8 bit matrix A_beta whose
+// column j is beta (x) 2^j — 64 bytes per instruction vs the nibble-LUT
+// path's 32 bytes per 4 ops.  The qword bit layout of the matrix operand is
+// derived EMPIRICALLY at init (4 candidate row/column bit orders, verified
+// against GF_MUL) so a convention mistake degrades to the LUT path instead
+// of corrupting payloads.
+uint64_t GF_AFF[256];
+bool gfni_ok = false;
+
+uint64_t build_aff(uint8_t beta, int rowrev, int colrev) {
+  uint64_t q = 0;
+  for (int r = 0; r < 8; r++) {  // result bit r
+    uint8_t rowbits = 0;
+    for (int j = 0; j < 8; j++)  // input bit j
+      if ((GF_MUL[beta][1 << j] >> r) & 1) rowbits |= (uint8_t)(1 << (colrev ? 7 - j : j));
+    q |= (uint64_t)rowbits << (8 * (rowrev ? 7 - r : r));
+  }
+  return q;
+}
+
+struct GfniInit {
+  GfniInit() {
+    if (!__builtin_cpu_supports("gfni")) return;
+    for (int rr = 0; rr < 2 && !gfni_ok; rr++)
+      for (int cr = 0; cr < 2 && !gfni_ok; cr++) {
+        __m128i m = _mm_set1_epi64x((long long)build_aff(0x53, rr, cr));
+        uint8_t in[16], outv[16];
+        for (int t = 0; t < 16; t++) in[t] = (uint8_t)(t * 17 + 5);
+        __m128i y = _mm_gf2p8affine_epi64_epi8(_mm_loadu_si128((const __m128i*)in), m, 0);
+        _mm_storeu_si128((__m128i*)outv, y);
+        bool match = true;
+        for (int t = 0; t < 16; t++)
+          if (outv[t] != GF_MUL[0x53][in[t]]) { match = false; break; }
+        if (match) {
+          for (int b = 0; b < 256; b++) GF_AFF[b] = build_aff((uint8_t)b, rr, cr);
+          gfni_ok = true;
+        }
+      }
+  }
+} gfni_init_;  // must come after tables_init_ (reads GF_MUL)
+#endif
+
 inline void row_xor(uint8_t* dst, const uint8_t* src, int n) {
   for (int j = 0; j < n; j++) dst[j] ^= src[j];
 }
 
-// dst ^= beta (x) src, PSHUFB nibble-LUT vectorized (the oblas oaxpy trick)
+// dst ^= beta (x) src: GFNI affine multiply when available (64 B/instr),
+// else PSHUFB nibble-LUT vectorized (the oblas oaxpy trick)
 inline void row_axpy(uint8_t* dst, const uint8_t* src, uint8_t beta, int n) {
   int j = 0;
+#if defined(__GFNI__) && defined(__AVX512F__) && defined(__AVX512BW__)
+  if (gfni_ok) {
+    const __m512i A = _mm512_set1_epi64((long long)GF_AFF[beta]);
+    for (; j + 64 <= n; j += 64) {
+      __m512i x = _mm512_loadu_si512((const void*)(src + j));
+      __m512i r = _mm512_gf2p8affine_epi64_epi8(x, A, 0);
+      __m512i d = _mm512_loadu_si512((const void*)(dst + j));
+      _mm512_storeu_si512((void*)(dst + j), _mm512_xor_si512(d, r));
+    }
+    if (j < n) {
+      const __mmask64 k = (~0ull) >> (64 - (n - j));
+      __m512i x = _mm512_maskz_loadu_epi8(k, src + j);
+      __m512i r = _mm512_gf2p8affine_epi64_epi8(x, A, 0);
+      __m512i d = _mm512_maskz_loadu_epi8(k, dst + j);
+      _mm512_mask_storeu_epi8(dst + j, k, _mm512_xor_si512(d, r));
+    }
+    return;
+  }
+#endif
 #if defined(__AVX2__)
   const __m256i lo_t = _mm256_broadcastsi128_si256(_mm_load_si128((const __m128i*)NIB_LO[beta]));
   const __m256i hi_t = _mm256_broadcastsi128_si256(_mm_load_si128((const __m128i*)NIB_HI[beta]));
@@ -1486,6 +1550,21 @@ inline void rxor(uint8_t* __restrict dst, const uint8_t* __restrict src, int n) 
 
 namespace {
 
+struct StageClk {
+  double* acc;  // [6] ms accumulators (solve, s1, s2, s3, s4, s5) or null
+  struct timespec t0;
+  explicit StageClk(double* a) : acc(a) {
+    if (acc) clock_gettime(CLOCK_MONOTONIC, &t0);
+  }
+  void mark(int s) {
+    if (!acc) return;
+    struct timespec t1;
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    acc[s] += (t1.tv_sec - t0.tv_sec) * 1e3 + (t1.tv_nsec - t0.tv_nsec) / 1e6;
+    t0 = t1;
+  }
+};
+
 // One block's repair: solve + substitution + LT gap combine.  Payload rows
 // are addressed through rowp[] (per-row pointers into the decoder's live
 // ingestion state — zero-copy; rows are only ever READ).
@@ -1495,9 +1574,12 @@ void host_repair_block(
     const uint64_t* rowp, int ng, const int32_t* gptr, const int32_t* gcols,
     uint8_t* outp, int32_t* status,
     std::vector<uint8_t>& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
-    std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof) {
+    std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof,
+    double* stage_ms = nullptr) {
+  StageClk ck(stage_ms);
   *status = 3;
   void* h = nrq_solve(NB, L, W, S, H, row_ptr, row_cols, hdpc);
+  ck.mark(0);
   Solver* sv = (Solver*)h;
   if (sv->status) {
     *status = 1;
@@ -1522,6 +1604,7 @@ void host_repair_block(
   for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
   const size_t nte = sv->tri_ek.size();
   for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  ck.mark(1);
 
   // stage 2: Schur RHS over the selected dense-pivot rows order[i..i+u)
   for (int s = 0; s < u; s++) {
@@ -1542,6 +1625,7 @@ void host_repair_block(
       if (p >= 0) rxor(RHS(s), Z(p), T);
     }
   }
+  ck.mark(2);
 
   // stage 3: xu = vinv . rhs (binary inverse or GF(256), same loop)
   for (int j = 0; j < u; j++) {
@@ -1554,12 +1638,14 @@ void host_repair_block(
       else if (beta) row_axpy(out, RHS(m), beta, T);
     }
   }
+  ck.mark(3);
 
   // stage 4: xa = T^-1 (y ^ Ut xu), reusing the z buffer
   for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
   const size_t nue = sv->ut_ek.size();
   for (size_t e = 0; e < nue; e++) rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
   for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  ck.mark(4);
 
   // stage 5: gap outputs = XOR C[cols] with C addressed through the maps
   for (int g = 0; g < ng; g++) {
@@ -1571,6 +1657,7 @@ void host_repair_block(
       rxor(o, p >= 0 ? Z(p) : XU(ucolof[c]), T);
     }
   }
+  ck.mark(5);
   *status = 0;
   nrq_free(h);
 }
@@ -1600,6 +1687,8 @@ void nrq_host_repair(
     const int64_t* gc_off, const int32_t* gap_cols_all,
     const uint64_t* out_ptrs,
     int32_t* statuses, int32_t nthreads) {
+  const bool timing = getenv("NRQ_TIMING") != nullptr;
+  double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   auto run_range = [&](int b0, int b1) {
     std::vector<uint8_t> z, rhs, xu;
     std::vector<int32_t> pivpos(L), ucolof(L);
@@ -1609,21 +1698,28 @@ void nrq_host_repair(
           row_ptr_all + rp_off[b], row_cols_all + rc_off[b], hdpc,
           rowp_all + dp_off[b], ngaps[b], gap_ptr_all + gp_off[b],
           gap_cols_all + gc_off[b], (uint8_t*)(uintptr_t)out_ptrs[b],
-          statuses + b, z, rhs, xu, pivpos, ucolof);
+          statuses + b, z, rhs, xu, pivpos, ucolof,
+          (timing && b0 == 0) ? stage_ms : nullptr);
     }
   };
   int nt = std::min<int>(std::max<int>(nthreads, 1), nb);
   if (nt <= 1) {
     run_range(0, nb);
-    return;
+  } else {
+    std::vector<std::thread> workers;
+    workers.reserve(nt);
+    for (int w = 0; w < nt; w++) {
+      int b0 = (int)((int64_t)nb * w / nt), b1 = (int)((int64_t)nb * (w + 1) / nt);
+      workers.emplace_back(run_range, b0, b1);
+    }
+    for (auto& t : workers) t.join();
   }
-  std::vector<std::thread> workers;
-  workers.reserve(nt);
-  for (int w = 0; w < nt; w++) {
-    int b0 = (int)((int64_t)nb * w / nt), b1 = (int)((int64_t)nb * (w + 1) / nt);
-    workers.emplace_back(run_range, b0, b1);
-  }
-  for (auto& t : workers) t.join();
+  if (timing)
+    fprintf(stderr,
+            "nrq_host_repair (thread 0): solve %.1f s1 %.1f s2 %.1f s3 %.1f "
+            "s4 %.1f s5 %.1f ms\n",
+            stage_ms[0], stage_ms[1], stage_ms[2], stage_ms[3], stage_ms[4],
+            stage_ms[5]);
 }
 
 // ---------------------------------------------------------------------------
