@@ -53,7 +53,8 @@ class _Block:
     ESIs (sparse, unbounded) stay in a set.
     """
 
-    __slots__ = ("K", "D", "C", "loaded", "got", "nsrc", "repair", "rep_seen")
+    __slots__ = ("K", "D", "C", "loaded", "got", "nsrc",
+                 "rep_esis", "rep_rows", "nrep", "rep_seen")
 
     def __init__(self, K: int):
         self.K = K
@@ -62,8 +63,31 @@ class _Block:
         self.loaded = False
         self.got = np.zeros(K, bool)  # received source esis
         self.nsrc = 0  # = got.sum(), tracked incrementally
-        self.repair: list[tuple[int, np.ndarray]] = []
+        # repair symbols live in ONE contiguous [cap, T] buffer (doubling
+        # growth) so repair-time fills and per-row address math vectorize
+        self.rep_esis = np.empty(8, np.int64)
+        self.rep_rows: np.ndarray | None = None
+        self.nrep = 0
         self.rep_seen: set[int] = set()
+
+    def add_repair(self, esis: np.ndarray, payloads: np.ndarray):
+        """Append repair rows (esis int [n], payloads uint8 [n, T])."""
+        n = int(esis.size)
+        need = self.nrep + n
+        if self.rep_rows is None or need > self.rep_rows.shape[0]:
+            cap = max(8, 1 << (need - 1).bit_length())
+            rows = np.empty((cap, payloads.shape[1]), np.uint8)
+            if self.nrep:
+                rows[: self.nrep] = self.rep_rows[: self.nrep]
+            self.rep_rows = rows
+            if cap > self.rep_esis.size:
+                e = np.empty(cap, np.int64)
+                e[: self.nrep] = self.rep_esis[: self.nrep]
+                self.rep_esis = e
+        self.rep_esis[self.nrep : need] = esis
+        self.rep_rows[self.nrep : need] = payloads
+        self.nrep = need
+        self.rep_seen.update(int(x) for x in esis)
 
     def reset(self):
         self.D = None
@@ -71,7 +95,8 @@ class _Block:
         self.loaded = False
         self.got[:] = False
         self.nsrc = 0
-        self.repair.clear()
+        self.nrep = 0
+        self.rep_rows = None
         self.rep_seen.clear()
 
 
@@ -362,8 +387,7 @@ class Decoder(_CodecBase):
             b.got[esi] = True
             b.nsrc += 1
         else:
-            b.repair.append((esi, payload))
-            b.rep_seen.add(esi)
+            b.add_repair(np.array([esi], np.int64), payload[None])
         return SYM_ADDED
 
     def _d_rows(self) -> int:
@@ -440,9 +464,9 @@ class Decoder(_CodecBase):
                         b.D = np.zeros((self._d_rows(), self.scheme.T), np.uint8)
                     b.D[pe] = pl
                 # complete: repair is a no-op, the D rows would never be read
-            for i in np.nonzero(ok & ~src)[0]:
-                b.repair.append((int(e[i]), payloads[idxs[i]].copy()))
-                b.rep_seen.add(int(e[i]))
+            rep = np.nonzero(ok & ~src)[0]
+            if rep.size:
+                b.add_repair(e[rep], payloads[idxs[rep]])
             statuses[idxs] = st
         return statuses.tolist()
 
@@ -469,7 +493,7 @@ class Decoder(_CodecBase):
         usbns = np.unique(sbns)
         for s in usbns:
             b = self._blocks.get(int(s))
-            if b is not None and (b.nsrc or b.repair or b.D is not None):
+            if b is not None and (b.nsrc or b.nrep or b.D is not None):
                 return None
         T = self.scheme.T
         base = np.where(sbns < src.JL, sbns * src.IL,
@@ -518,7 +542,7 @@ class Decoder(_CodecBase):
         return b.K - b.nsrc
 
     def num_repair(self, sbn: int) -> int:
-        return len(self._block(sbn).repair)
+        return self._block(sbn).nrep
 
     def _repair_prepare(self, sbn: int):
         """Patched-system inputs for one block: (gaps, isis, overhead) or a
@@ -528,16 +552,15 @@ class Decoder(_CodecBase):
         gaps = np.nonzero(~b.got)[0].astype(np.int64)
         if gaps.size == 0:
             return True
-        if len(b.repair) < gaps.size:
+        if b.nrep < gaps.size:
             return False
-        overhead = len(b.repair) - gaps.size
+        overhead = b.nrep - gaps.size
         pad = P.Kp - b.K
 
         # patched system: gap LT slots take repair ISIs; overhead rows after
         # (reference patch_precode_matrix, nanorq.c:527-547)
         isis = np.arange(P.Kp + overhead, dtype=np.uint32)
-        rep_esis = np.array([e for e, _ in b.repair], np.int64)
-        rep_isis = (rep_esis + pad).astype(np.uint32)
+        rep_isis = (b.rep_esis[: b.nrep] + pad).astype(np.uint32)
         isis[gaps] = rep_isis[: gaps.size]
         isis[P.Kp :] = rep_isis[gaps.size :]
         return gaps, isis, overhead
@@ -553,10 +576,9 @@ class Decoder(_CodecBase):
         if b.D is not None:
             have = np.nonzero(b.got)[0]
             D[have] = b.D[have]
-        for slot, (_, payload) in zip(gaps, b.repair[: gaps.size]):
-            D[slot] = payload
-        for slot, (_, payload) in zip(range(P.Kp, P.Kp + overhead), b.repair[gaps.size :]):
-            D[slot] = payload
+        ng = gaps.size
+        D[gaps] = b.rep_rows[:ng]
+        D[P.Kp : P.Kp + overhead] = b.rep_rows[ng : ng + overhead]
         return D
 
     def _repair_launch_batch(self, items, mesh=None):
@@ -680,11 +702,11 @@ class Decoder(_CodecBase):
                 b.D.strides[0]
             )
         ng = gaps.size
-        ptrs[gaps] = np.fromiter((p.ctypes.data for _, p in b.repair[:ng]), np.uint64, ng)
+        rep0 = np.uint64(b.rep_rows.ctypes.data)
+        rstride = np.uint64(b.rep_rows.strides[0])
+        ptrs[gaps] = rep0 + np.arange(ng, dtype=np.uint64) * rstride
         Kp = self.P.Kp
-        ptrs[Kp : Kp + overhead] = np.fromiter(
-            (p.ctypes.data for _, p in b.repair[ng : ng + overhead]), np.uint64, overhead
-        )
+        ptrs[Kp : Kp + overhead] = rep0 + np.arange(ng, ng + overhead, dtype=np.uint64) * rstride
         return ptrs
 
     def _repair_host_batch(self, work):
@@ -800,8 +822,7 @@ class Decoder(_CodecBase):
                 if b.D is not None:
                     n = min(b.D.shape[0], kc)
                     D0[j, :n] = b.D[:n]
-                for r, (_, payload) in enumerate(b.repair[:nr]):
-                    yst[j, r] = payload
+                yst[j, :nr] = b.rep_rows[:nr]
             res = _BatchResult(_res_batch_jit(
                 jnp.asarray(Wst), jnp.asarray(D0), jnp.asarray(Rst), jnp.asarray(yst)
             ))
