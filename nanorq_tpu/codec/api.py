@@ -665,8 +665,9 @@ class Decoder(_CodecBase):
 
     def _repair_finish(self, io: IOContext, sbn: int, gaps: np.ndarray, sym) -> bool:
         b = self._block(sbn)
-        recovered = np.asarray(sym)[: gaps.size]
-        self._write_symbols_coalesced(io, sbn, gaps, b.K, recovered)
+        if sym is not None:  # None: already written through (_out_row_ptrs)
+            recovered = np.asarray(sym)[: gaps.size]
+            self._write_symbols_coalesced(io, sbn, gaps, b.K, recovered)
         b.got[gaps] = True
         b.nsrc += gaps.size
         return self.num_missing(sbn) == 0
@@ -709,38 +710,61 @@ class Decoder(_CodecBase):
         ptrs[Kp : Kp + overhead] = rep0 + np.arange(ng, ng + overhead, dtype=np.uint64) * rstride
         return ptrs
 
-    def _repair_host_batch(self, work):
+    def _out_row_ptrs(self, io: IOContext, sbn: int, gaps: np.ndarray) -> np.ndarray | None:
+        """Per-gap output addresses straight into the decode object, or None
+        when direct write-through doesn't apply (sub-blocked layout, non-
+        buffer IO, or a clamped tail symbol).  Lets the native repair write
+        recovered rows once, with no post-repair copy."""
+        if self.scheme.N != 1:
+            return None
+        buf = getattr(io, "buffer", None)
+        if buf is None or not io.writable or not buf.flags["C_CONTIGUOUS"] or buf.size < self.scheme.F:
+            return None
+        T = self.scheme.T
+        base = symbol_ranges(self.scheme, sbn, 0, self._block(sbn).K)[0][0]
+        offs = base + gaps.astype(np.uint64) * np.uint64(T)
+        if gaps.size and int(offs[-1]) + T > self.scheme.F:  # short tail symbol
+            return None
+        return np.uint64(buf.ctypes.data) + offs
+
+    def _repair_host_batch(self, work, io: IOContext | None = None):
         """CPU arm of the adaptive decode runtime: one native call fusing
-        solve + substitution + LT gap combine for a batch of blocks
-        (native.host_repair — the reference's nanorq_repair_block shape,
-        lib/nanorq.c:591-630, with zero device traffic and zero payload
-        copies: the native call reads rows in place via _row_ptrs).
+        per-pattern system build + solve + substitution + LT gap combine for
+        a batch of blocks (native.host_repair_shared — the reference's
+        nanorq_repair_block shape, lib/nanorq.c:591-630, with zero device
+        traffic and zero payload copies: the native call reads rows in place
+        via _row_ptrs and, when the output object is a writable buffer,
+        writes recovered rows straight into it via _out_row_ptrs).
 
         work: [(sbn, gaps, isis, overhead)].  Returns (ok, results) with
-        results = [(sbn, gaps, recovered_np)] for successful blocks;
-        rank-deficient blocks count as failures (feed more symbols, retry).
-        """
-        from nanorq_tpu.native import host_repair
+        results = [(sbn, gaps, recovered_np | None)] for successful blocks
+        (None = already written through to io); rank-deficient blocks count
+        as failures (feed more symbols, retry)."""
+        from nanorq_tpu.native import host_repair_shared
         from nanorq_tpu.utils import stats
 
         P, T = self.P, self.scheme.T
         base = _cache._base_rows(P)
-        items, metas = [], []
+        Kp = P.Kp
+        blocks, metas = [], []
         for sbn, gaps, isis, ov in work:
-            rows = _cache._patched_rows(P, isis, ov)
-            gap_csr = _cache._rows_subset(base, gaps)
-            items.append((rows, self._row_ptrs(sbn, gaps, ov, len(rows)), gap_csr))
+            ng = gaps.size
+            rep_isis = np.empty(ng + ov, np.uint32)
+            rep_isis[:ng] = isis[gaps]
+            rep_isis[ng:] = isis[Kp : Kp + ov]
+            orowp = None if io is None else self._out_row_ptrs(io, sbn, gaps)
+            blocks.append((gaps, rep_isis, self._row_ptrs(sbn, gaps, ov, Kp + ov + P.S), orowp))
             metas.append((sbn, gaps))
         with stats.timer("host_repair"):
-            res = host_repair(P, items, T)
+            res = host_repair_shared(P, base, blocks, T)
         if res is None:  # native library unavailable: caller reroutes
             return None
         outs, statuses = res
-        stats.count("repair_host_blocks", len(items))
+        stats.count("repair_host_blocks", len(blocks))
         ok, results = True, []
-        for (sbn, gaps), out, status in zip(metas, outs, statuses):
+        for (sbn, gaps), (_, _, _, orowp), out, status in zip(metas, blocks, outs, statuses):
             if status == 0:
-                results.append((sbn, gaps, out))
+                results.append((sbn, gaps, None if orowp is not None else out))
             else:
                 stats.count("decode_rank_deficient")
                 stats.count("repair_block_failed")
@@ -836,7 +860,8 @@ class Decoder(_CodecBase):
     # device work flowing while later solves run)
     _BATCH_FLUSH = 32
 
-    def _repair_pipeline(self, max_workers: int | None = None, mesh=None, backend: str | None = None):
+    def _repair_pipeline(self, max_workers: int | None = None, mesh=None, backend: str | None = None,
+                         io: IOContext | None = None):
         """Solve + launch every gap block without draining results.
 
         Returns (ok_so_far, launched) where launched is a list of
@@ -904,7 +929,7 @@ class Decoder(_CodecBase):
                         ok = ok and rok
                         launched.extend(rlaunched)
                 if host_work:
-                    res = self._repair_host_batch(host_work)
+                    res = self._repair_host_batch(host_work, io)
                     if res is None:
                         dev_work = work  # native vanished mid-flight: reroute all
                         launched = []
@@ -988,7 +1013,7 @@ class Decoder(_CodecBase):
         "host".
 
         Returns True iff every block is fully recovered."""
-        ok, launched = self._repair_pipeline(max_workers, mesh=mesh, backend=backend)
+        ok, launched = self._repair_pipeline(max_workers, mesh=mesh, backend=backend, io=io)
         for sbn, gaps, sym in launched:
             ok = self._repair_finish(io, sbn, gaps, sym) and ok
         return ok

@@ -155,6 +155,23 @@ def get_lib():
                 ctypes.c_int32, i32p, i32p, i64p, u8p, i64p, u8p, i32p,
                 ctypes.c_int32,
             ]
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.nrq_lt_init.restype = None
+            lib.nrq_lt_init.argtypes = [u32p, u32p, u32p, u32p, u32p, ctypes.c_int32]
+            lib.nrq_lt_row.restype = ctypes.c_int32
+            lib.nrq_lt_row.argtypes = [
+                ctypes.c_uint32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, i32p,
+            ]
+            lib.nrq_host_repair2.restype = None
+            lib.nrq_host_repair2.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                i64p, i32p, u8p, i32p,
+                i64p, u32p, i64p, u64p, i32p, i64p, i32p, i64p, u64p, i32p,
+                ctypes.c_int32,
+            ]
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.nrq_tri_plan.restype = ctypes.c_void_p
             lib.nrq_tri_plan.argtypes = [
@@ -503,6 +520,120 @@ def host_repair(P, items, T: int, nthreads: int = 0):
         nthreads,
     )
     return outs, statuses
+
+
+_lt_tables_set = False
+_lt_tables_keep = None  # keeps the table arrays alive across the C call
+
+
+def _ensure_lt_tables(lib) -> None:
+    """One-time injection of the RFC 6330 normative tables into the native
+    library (nrq_lt_init) so its LT row generator matches rfc/tuples.py."""
+    global _lt_tables_set, _lt_tables_keep
+    if _lt_tables_set:
+        return
+    from nanorq_tpu.rfc.tables import DEGREE_DIST, V0, V1, V2, V3
+
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    arrs = [np.ascontiguousarray(a, np.uint32) for a in (V0, V1, V2, V3, DEGREE_DIST)]
+    _lt_tables_keep = arrs
+    lib.nrq_lt_init(*(a.ctypes.data_as(u32p) for a in arrs), len(arrs[4]))
+    _lt_tables_set = True
+
+
+def host_repair_shared(P, base, blocks, T: int, nthreads: int = 0):
+    """Batched host-side block repair with NATIVE per-pattern prep
+    (nrq_host_repair2): each block's patched binary system is assembled in
+    C++ from the K'-shared base CSR plus (gaps, repair ISIs) — no per-block
+    Python row construction (the reference's patch_precode_matrix shape,
+    nanorq.c:527-547, fused into the repair call).
+
+    base — CSRRows of the loss-independent encoder system rows for K'
+           (cache._base_rows: Kp LT rows + S LDPC rows)
+    blocks — [(gaps, rep_isis, row_ptrs, out_rowp)] per block, same K':
+      gaps     int [ng] missing source ESIs, ascending
+      rep_isis uint32 [ng + ov] repair ISIs (gap slots then overhead rows)
+      row_ptrs np.uint64 [Kp+ov+S] per-ROW payload addresses (caller keeps
+               every backing buffer alive across the call; rows only read)
+      out_rowp np.uint64 [ng] per-ROW output addresses (each T writable
+               bytes — e.g. straight into the decode output object), or
+               None to have a temp [ng, T] allocated here
+
+    Returns (outs, statuses): outs[b] is the temp array (None where the
+    caller supplied out_rowp — rows were written through the pointers,
+    valid iff statuses[b] == 0).  None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from nanorq_tpu.precode.matrix import hdpc_full_rows
+
+    _ensure_lt_tables(lib)
+    if not nthreads:
+        nthreads = int(os.environ.get("NANORQ_HOST_THREADS", "1"))
+    nb = len(blocks)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    hdpc = np.ascontiguousarray(hdpc_full_rows(P), dtype=np.uint8)
+    base_ptr = np.ascontiguousarray(base.ptr, np.int64)
+    base_cols = np.ascontiguousarray(base.cols, np.int32)
+
+    ngaps = np.fromiter((g.size for g, _, _, _ in blocks), np.int32, nb)
+    novs = np.fromiter((r.size - g.size for g, r, _, _ in blocks), np.int32, nb)
+
+    def cat(parts, dtype):
+        out = np.concatenate([np.ascontiguousarray(p, dtype) for p in parts]) \
+            if any(p.size for p in parts) else np.zeros(1, dtype)
+        offs = np.zeros(nb, np.int64)
+        offs[1:] = np.cumsum([p.size for p in parts[:-1]])
+        return out, offs
+
+    outs: list = [None] * nb
+    orows = []
+    for j, (g, _, _, op) in enumerate(blocks):
+        if op is None:
+            outs[j] = np.empty((g.size, T), np.uint8)
+            op = np.uint64(outs[j].ctypes.data) + np.arange(g.size, dtype=np.uint64) * np.uint64(T)
+        orows.append(op)
+
+    gaps_all, gaps_off = cat([g for g, _, _, _ in blocks], np.int32)
+    risis_all, ri_off = cat([r for _, r, _, _ in blocks], np.uint32)
+    rowp_all, dp_off = cat([p for _, _, p, _ in blocks], np.uint64)
+    orow_all, op_off = cat(orows, np.uint64)
+    statuses = np.empty(nb, np.int32)
+
+    lib.nrq_host_repair2(
+        nb, P.L, P.W, P.S, P.H, T,
+        P.Kp, P.P1, P.P, P.J,
+        base_ptr.ctypes.data_as(i64p), base_cols.ctypes.data_as(i32p),
+        hdpc.ctypes.data_as(u8p),
+        novs.ctypes.data_as(i32p),
+        ri_off.ctypes.data_as(i64p), risis_all.ctypes.data_as(u32p),
+        dp_off.ctypes.data_as(i64p), rowp_all.ctypes.data_as(u64p),
+        ngaps.ctypes.data_as(i32p),
+        gaps_off.ctypes.data_as(i64p), gaps_all.ctypes.data_as(i32p),
+        op_off.ctypes.data_as(i64p), orow_all.ctypes.data_as(u64p),
+        statuses.ctypes.data_as(i32p),
+        nthreads,
+    )
+    return outs, statuses
+
+
+def lt_row_native(X: int, P) -> np.ndarray | None:
+    """Testing probe: the native LT row generator's column indices for ISI X
+    (None when the native library is unavailable)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _ensure_lt_tables(lib)
+    out = np.empty(40, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.nrq_lt_row(int(X), P.W, P.P1, P.P, P.J, out.ctypes.data_as(i32p))
+    return out[:n]
 
 
 def res_rinv(Gs: list, nthreads: int = 0):

@@ -1572,8 +1572,9 @@ void host_repair_block(
     int L, int W, int S, int H, int T, int NB,
     const int32_t* row_ptr, const int32_t* row_cols, const uint8_t* hdpc,
     const uint64_t* rowp, int ng, const int32_t* gptr, const int32_t* gcols,
-    uint8_t* outp, int32_t* status,
+    const uint64_t* outpp, int32_t* status,
     std::vector<uint8_t>& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
+    std::vector<uint8_t>& acc,
     std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof,
     double* stage_ms = nullptr) {
   StageClk ck(stage_ms);
@@ -1647,15 +1648,21 @@ void host_repair_block(
   for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
   ck.mark(4);
 
-  // stage 5: gap outputs = XOR C[cols] with C addressed through the maps
+  // stage 5: gap outputs = XOR C[cols] with C addressed through the maps.
+  // Accumulate in a hot local row, then ONE copy to the per-ROW destination
+  // (callers may point destinations straight into the decode output object;
+  // XOR-accumulating into that far memory directly would re-read it per
+  // neighbor).
+  acc.resize(T);
   for (int g = 0; g < ng; g++) {
-    uint8_t* o = outp + (size_t)g * T;
+    uint8_t* o = acc.data();
     memset(o, 0, T);
     for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
       int c = gcols[e];
       int p = pivpos[c];
       rxor(o, p >= 0 ? Z(p) : XU(ucolof[c]), T);
     }
+    memcpy((uint8_t*)(uintptr_t)outpp[g], o, T);
   }
   ck.mark(5);
   *status = 0;
@@ -1690,15 +1697,19 @@ void nrq_host_repair(
   const bool timing = getenv("NRQ_TIMING") != nullptr;
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu;
+    std::vector<uint8_t> z, rhs, xu, acc;
     std::vector<int32_t> pivpos(L), ucolof(L);
+    std::vector<uint64_t> outrp;
     for (int b = b0; b < b1; b++) {
+      outrp.resize(std::max(ngaps[b], 1));
+      for (int g = 0; g < ngaps[b]; g++)
+        outrp[g] = out_ptrs[b] + (uint64_t)g * (uint64_t)T;
       host_repair_block(
           L, W, S, H, T, NBs[b],
           row_ptr_all + rp_off[b], row_cols_all + rc_off[b], hdpc,
           rowp_all + dp_off[b], ngaps[b], gap_ptr_all + gp_off[b],
-          gap_cols_all + gc_off[b], (uint8_t*)(uintptr_t)out_ptrs[b],
-          statuses + b, z, rhs, xu, pivpos, ucolof,
+          gap_cols_all + gc_off[b], outrp.data(),
+          statuses + b, z, rhs, xu, acc, pivpos, ucolof,
           (timing && b0 == 0) ? stage_ms : nullptr);
     }
   };
@@ -1717,6 +1728,171 @@ void nrq_host_repair(
   if (timing)
     fprintf(stderr,
             "nrq_host_repair (thread 0): solve %.1f s1 %.1f s2 %.1f s3 %.1f "
+            "s4 %.1f s5 %.1f ms\n",
+            stage_ms[0], stage_ms[1], stage_ms[2], stage_ms[3], stage_ms[4],
+            stage_ms[5]);
+}
+
+// ---------------------------------------------------------------------------
+// RFC 6330 LT row generation (s5.3.5.1 PRNG, s5.3.5.2 degree, s5.3.5.3-4
+// tuple + index expansion; parity with rfc/{rand,tuples}.py).  The normative
+// tables are injected once via nrq_lt_init from the Python package so the
+// constants have a single source of truth (rfc/_tabledata.py).
+// ---------------------------------------------------------------------------
+
+static uint32_t LT_V[4][256];
+static uint32_t LT_F[64];
+static int32_t LT_NF = 0;
+
+static inline uint32_t lt_rnd(uint32_t y, uint32_t i, uint32_t m) {
+  return (LT_V[0][(y + i) & 0xFF] ^ LT_V[1][((y >> 8) + i) & 0xFF] ^
+          LT_V[2][((y >> 16) + i) & 0xFF] ^ LT_V[3][((y >> 24) + i) & 0xFF]) %
+         m;
+}
+
+struct LtParams {
+  uint32_t W, P1, Pv, J;  // Pv = P = L - W
+};
+
+// Writes ISI X's LT-row column indices (LT part then PI part) into out
+// (MAX 33 entries); returns the count.  W prime => LT entries unique; the
+// PI progression mod P1 (prime) cycles all residues so the d1 walk
+// terminates.  Matches rfc/tuples.py lt_indices (reference lib/tuple.c +
+// lib/params.c:47-65).
+static int lt_row_gen(uint32_t X, const LtParams& p, int32_t* out) {
+  uint32_t A = 53591u + p.J * 997u;
+  if (!(A & 1)) A++;
+  uint32_t y = 10267u * (p.J + 1) + X * A;  // uint32 wraparound intended
+  uint32_t v = lt_rnd(y, 0, 1u << 20);
+  uint32_t d = 0;
+  while (d < (uint32_t)LT_NF && LT_F[d] <= v) d++;
+  if (d > p.W - 2) d = p.W - 2;
+  uint32_t a = 1 + lt_rnd(y, 1, p.W - 1);
+  uint32_t b = lt_rnd(y, 2, p.W);
+  uint32_t d1 = (d < 4) ? 2 + lt_rnd(X, 3, 2) : 2;
+  uint32_t a1 = 1 + lt_rnd(X, 4, p.P1 - 1);
+  uint32_t b1 = lt_rnd(X, 5, p.P1);
+  int n = 0;
+  for (uint32_t j = 0; j < d; j++) {
+    out[n++] = (int32_t)b;
+    b += a;
+    if (b >= p.W) b -= p.W;
+  }
+  for (uint32_t got = 0; got < d1;) {
+    if (b1 < p.Pv) {
+      out[n++] = (int32_t)(p.W + b1);
+      got++;
+    }
+    b1 += a1;
+    if (b1 >= p.P1) b1 -= p.P1;
+  }
+  return n;
+}
+
+void nrq_lt_init(const uint32_t* V0, const uint32_t* V1, const uint32_t* V2,
+                 const uint32_t* V3, const uint32_t* f, int32_t nf) {
+  memcpy(LT_V[0], V0, sizeof(LT_V[0]));
+  memcpy(LT_V[1], V1, sizeof(LT_V[1]));
+  memcpy(LT_V[2], V2, sizeof(LT_V[2]));
+  memcpy(LT_V[3], V3, sizeof(LT_V[3]));
+  LT_NF = nf > 64 ? 64 : nf;
+  memcpy(LT_F, f, sizeof(uint32_t) * LT_NF);
+}
+
+// Testing probe: one LT row for ISI X (returns count, fills out[<=33]).
+int32_t nrq_lt_row(uint32_t X, int32_t W, int32_t P1, int32_t Pv, int32_t J,
+                   int32_t* out) {
+  LtParams p{(uint32_t)W, (uint32_t)P1, (uint32_t)Pv, (uint32_t)J};
+  return lt_row_gen(X, p, out);
+}
+
+// Shared-base batched repair: like nrq_host_repair but the patched binary
+// system is BUILT HERE per block from the K'-shared base CSR (Kp LT rows +
+// S LDPC rows, loss-independent) plus each block's (gaps, repair ISIs) —
+// the per-pattern prep that the Python layer used to do row by row.  Gap
+// combine rows are the base LT rows of the gap ESIs read in place.
+// Workspaces (system CSR, substitution buffers) are reused across a
+// thread's blocks.  Requires a prior nrq_lt_init.
+void nrq_host_repair2(
+    int32_t nb, int32_t L, int32_t W, int32_t S, int32_t H, int32_t T,
+    int32_t Kp, int32_t P1, int32_t Pv, int32_t J,
+    const int64_t* base_ptr, const int32_t* base_cols,  // Kp + S rows
+    const uint8_t* hdpc,
+    const int32_t* novs,
+    const int64_t* ri_off, const uint32_t* rep_isis_all,  // ng+ov per block
+    const int64_t* dp_off, const uint64_t* rowp_all,
+    const int32_t* ngaps, const int64_t* gaps_off, const int32_t* gaps_all,
+    const int64_t* op_off, const uint64_t* out_rowp_all,  // ng per block
+    int32_t* statuses, int32_t nthreads) {
+  const bool timing = getenv("NRQ_TIMING") != nullptr;
+  double stage_ms[6] = {0, 0, 0, 0, 0, 0};
+  const LtParams lp{(uint32_t)W, (uint32_t)P1, (uint32_t)Pv, (uint32_t)J};
+  auto run_range = [&](int b0, int b1) {
+    std::vector<uint8_t> z, rhs, xu, acc;
+    std::vector<int32_t> pivpos(L), ucolof(L);
+    std::vector<int32_t> rptr, rcols, gptr, gcols;
+    for (int b = b0; b < b1; b++) {
+      const int ov = novs[b], ng = ngaps[b];
+      const int NB = Kp + ov + S;
+      const int32_t* gaps = gaps_all + gaps_off[b];
+      const uint32_t* risis = rep_isis_all + ri_off[b];
+      int32_t tmp[40];
+      rptr.clear();
+      rcols.clear();
+      rptr.reserve(NB + 1);
+      rptr.push_back(0);
+      int gi = 0;
+      for (int s = 0; s < Kp; s++) {
+        if (gi < ng && gaps[gi] == s) {  // gap slot: repair ISI's LT row
+          int n = lt_row_gen(risis[gi++], lp, tmp);
+          rcols.insert(rcols.end(), tmp, tmp + n);
+        } else {
+          rcols.insert(rcols.end(), base_cols + base_ptr[s],
+                       base_cols + base_ptr[s + 1]);
+        }
+        rptr.push_back((int32_t)rcols.size());
+      }
+      for (int s = 0; s < ov; s++) {  // overhead rows
+        int n = lt_row_gen(risis[ng + s], lp, tmp);
+        rcols.insert(rcols.end(), tmp, tmp + n);
+        rptr.push_back((int32_t)rcols.size());
+      }
+      for (int s = Kp; s < Kp + S; s++) {  // LDPC rows
+        rcols.insert(rcols.end(), base_cols + base_ptr[s],
+                     base_cols + base_ptr[s + 1]);
+        rptr.push_back((int32_t)rcols.size());
+      }
+      gptr.clear();
+      gcols.clear();
+      gptr.push_back(0);
+      for (int g = 0; g < ng; g++) {  // gap ESIs are systematic: base rows
+        int32_t r = gaps[g];
+        gcols.insert(gcols.end(), base_cols + base_ptr[r],
+                     base_cols + base_ptr[r + 1]);
+        gptr.push_back((int32_t)gcols.size());
+      }
+      host_repair_block(L, W, S, H, T, NB, rptr.data(), rcols.data(), hdpc,
+                        rowp_all + dp_off[b], ng, gptr.data(), gcols.data(),
+                        out_rowp_all + op_off[b], statuses + b, z, rhs,
+                        xu, acc, pivpos, ucolof,
+                        (timing && b0 == 0) ? stage_ms : nullptr);
+    }
+  };
+  int nt = std::min<int>(std::max<int>(nthreads, 1), nb);
+  if (nt <= 1) {
+    run_range(0, nb);
+  } else {
+    std::vector<std::thread> workers;
+    workers.reserve(nt);
+    for (int w = 0; w < nt; w++) {
+      int b0 = (int)((int64_t)nb * w / nt), b1 = (int)((int64_t)nb * (w + 1) / nt);
+      workers.emplace_back(run_range, b0, b1);
+    }
+    for (auto& t : workers) t.join();
+  }
+  if (timing)
+    fprintf(stderr,
+            "nrq_host_repair2 (thread 0): solve %.1f s1 %.1f s2 %.1f s3 %.1f "
             "s4 %.1f s5 %.1f ms\n",
             stage_ms[0], stage_ms[1], stage_ms[2], stage_ms[3], stage_ms[4],
             stage_ms[5]);

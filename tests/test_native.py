@@ -128,3 +128,24 @@ def test_adaptive_backend_cold_host_warm_device():
     assert dec.repair_all(io)  # warm: auto -> device arm
     assert stats.snapshot()["counters"].get("repair_host_blocks", 0) - c0 == 0
     assert np.array_equal(out, data)
+
+
+def test_lt_row_native_parity():
+    """The native LT row generator (nrq_lt_row, used by the shared-base
+    repair prep) matches rfc/tuples.py lt_indices for random ISIs."""
+    from nanorq_tpu.native import lt_row_native, native_available
+    from nanorq_tpu.rfc.params import params_init
+    from nanorq_tpu.rfc.tuples import lt_indices
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for K in (10, 100, 1017, 5000, 25000):
+        P = params_init(K)
+        isis = rng.integers(0, 2 * P.Kp, 64, dtype=np.uint32)
+        idx, valid = lt_indices(isis, P)
+        for j, X in enumerate(isis):
+            want = idx[j][valid[j]]
+            got = lt_row_native(int(X), P)
+            assert got is not None
+            assert sorted(got.tolist()) == sorted(want.tolist()), (K, int(X))
