@@ -17,6 +17,8 @@ Mirrored reference behaviors worth noting:
   transfer exceeds Z_max*K_max symbols (nanorq.c:252-272).
 """
 
+import os
+
 import numpy as np
 
 from nanorq_tpu.codec import cache as _cache
@@ -36,6 +38,13 @@ SYM_ERR = -1
 # shared all-zeros symbol rows (per T), read-only: padding/constraint rows of
 # the patched system point here in the host arm's zero-copy row-pointer map
 _ZERO_ROWS: dict[int, np.ndarray] = {}
+
+
+# K' at or below which the auto decode policy prefers the solve-free host
+# residual arm over the patched-system host solve for cold patterns
+# (measured crossover ~K'=250 on an AVX-512 host: res_host 8.6 vs host 6.8
+# at K=200, 6.3 vs 8.7 at K=320; see _repair_residual_host_batch)
+_RES_HOST_MAX = int(os.environ.get("NANORQ_RES_HOST_MAX", "256"))
 
 
 def _zero_row(T: int) -> np.ndarray:
@@ -771,6 +780,63 @@ class Decoder(_CodecBase):
                 ok = False
         return ok, results
 
+    def _repair_residual_host_batch(self, work, io: IOContext | None = None):
+        """Solve-free CPU repair for small K' (native.host_residual):
+        X = R (y ^ W D0) against the canonical factorization — the residual
+        arm's math (see _repair_residual_batch) executed entirely on the
+        host with zero device traffic and zero payload copies.  The per-
+        block work is one axpy sweep over the received columns plus a tiny
+        [g, nr] combine, so it beats the patched-system solve exactly where
+        per-pattern solve overhead dominates (small K').
+
+        work: [(sbn, gaps, isis, overhead)].  Returns like
+        _repair_host_batch; None when the native factorization is
+        unavailable (caller reroutes)."""
+        from nanorq_tpu.native import host_residual
+        from nanorq_tpu.utils import stats
+
+        P, T = self.P, self.scheme.T
+        kc = _cache.res_kcols(P)
+        Kp = P.Kp
+        blocks, metas = [], []
+        with stats.timer("res_prep"):
+            for sbn, gaps, isis, ov in work:
+                ng = gaps.size
+                rep_isis = np.empty(ng + ov, np.uint32)
+                rep_isis[:ng] = isis[gaps]
+                rep_isis[ng:] = isis[Kp : Kp + ov]
+                W = _cache.res_wrows(P, rep_isis)
+                if W is None:
+                    return None  # no native factorization: caller reroutes
+                b = self._block(sbn)
+                d0p = np.zeros(kc, np.uint64)
+                if b.D is not None:
+                    have = np.nonzero(b.got)[0]
+                    d0p[have] = np.uint64(b.D.ctypes.data) + have.astype(np.uint64) * np.uint64(
+                        b.D.strides[0]
+                    )
+                yp = np.uint64(b.rep_rows.ctypes.data) + np.arange(
+                    ng + ov, dtype=np.uint64
+                ) * np.uint64(b.rep_rows.strides[0])
+                orowp = None if io is None else self._out_row_ptrs(io, sbn, gaps)
+                blocks.append((gaps, W, d0p, yp, orowp))
+                metas.append((sbn, gaps))
+        with stats.timer("host_residual"):
+            res = host_residual(kc, blocks, T)
+        if res is None:
+            return None
+        outs, statuses = res
+        stats.count("repair_res_host_blocks", len(blocks))
+        ok, results = True, []
+        for (sbn, gaps), (_, _, _, _, orowp), out, status in zip(metas, blocks, outs, statuses):
+            if status == 0:
+                results.append((sbn, gaps, None if orowp is not None else out))
+            else:
+                stats.count("decode_rank_deficient")
+                stats.count("repair_block_failed")
+                ok = False
+        return ok, results
+
     def _repair_residual_batch(self, work):
         """Residual arm of the adaptive decode runtime: repair WITHOUT a
         per-pattern system solve.
@@ -910,15 +976,26 @@ class Decoder(_CodecBase):
             from nanorq_tpu.native import native_available
 
             if native_available():
-                res_work, host_work, dev_work = [], [], []
+                res_work, rhost_work, host_work, dev_work = [], [], [], []
                 if backend == "host":
                     host_work = work
                 elif backend == "res":
                     res_work = work
-                else:  # auto: warm plans -> device, cold patterns -> host
+                elif backend == "res_host":
+                    rhost_work = work
+                else:  # auto: warm plans -> device; cold patterns -> the
+                    # solve-free residual arm at small K' (its nr x K' axpy
+                    # sweep undercuts peel + double substitution there),
+                    # the patched host solve above
+                    small = self.P.Kp <= _RES_HOST_MAX
                     for item in work:
                         hit, plan = _cache.decoder_plan_cached(self.P, item[2], item[3])
-                        (dev_work if hit and plan is not None else host_work).append(item)
+                        if hit and plan is not None:
+                            dev_work.append(item)
+                        elif small:
+                            rhost_work.append(item)
+                        else:
+                            host_work.append(item)
                 launched = []
                 if res_work:
                     rres = self._repair_residual_batch(res_work)
@@ -928,6 +1005,14 @@ class Decoder(_CodecBase):
                         rok, rlaunched = rres
                         ok = ok and rok
                         launched.extend(rlaunched)
+                if rhost_work:
+                    rres = self._repair_residual_host_batch(rhost_work, io)
+                    if rres is None:  # no native factorization: reroute
+                        host_work = host_work + rhost_work
+                    else:
+                        rok, results = rres
+                        ok = ok and rok
+                        launched.extend(results)
                 if host_work:
                     res = self._repair_host_batch(host_work, io)
                     if res is None:

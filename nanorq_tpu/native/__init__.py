@@ -155,6 +155,13 @@ def get_lib():
                 ctypes.c_int32, i32p, i32p, i64p, u8p, i64p, u8p, i32p,
                 ctypes.c_int32,
             ]
+            lib.nrq_host_residual.restype = None
+            lib.nrq_host_residual.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                i32p, i32p, i64p, i32p,
+                i64p, u8p, i64p, u64p, i64p, u64p, i64p, u64p, i32p,
+                ctypes.c_int32,
+            ]
             u32p = ctypes.POINTER(ctypes.c_uint32)
             lib.nrq_lt_init.restype = None
             lib.nrq_lt_init.argtypes = [u32p, u32p, u32p, u32p, u32p, ctypes.c_int32]
@@ -616,6 +623,74 @@ def host_repair_shared(P, base, blocks, T: int, nthreads: int = 0):
         dp_off.ctypes.data_as(i64p), rowp_all.ctypes.data_as(u64p),
         ngaps.ctypes.data_as(i32p),
         gaps_off.ctypes.data_as(i64p), gaps_all.ctypes.data_as(i32p),
+        op_off.ctypes.data_as(i64p), orow_all.ctypes.data_as(u64p),
+        statuses.ctypes.data_as(i32p),
+        nthreads,
+    )
+    return outs, statuses
+
+
+def host_residual(kc: int, blocks, T: int, nthreads: int = 0):
+    """Batched solve-free host repair (nrq_host_residual): X = R (y ^ W D0)
+    against the canonical factorization — see codec/api.py
+    _repair_residual_host_batch.  The gap-system left inverse R is computed
+    natively per block.
+
+    blocks: [(gaps, W, d0_ptrs, y_ptrs, out_rowp)] per block, same K':
+      gaps     int [g] missing source ESIs, ascending
+      W        uint8 [nr, kc] canonical combination rows (cache.res_wrows)
+      d0_ptrs  np.uint64 [kc] per-COLUMN payload addresses (0 = zero row)
+      y_ptrs   np.uint64 [nr] repair payload addresses
+      out_rowp np.uint64 [g] per-ROW output addresses, or None for a temp
+    (The caller keeps every backing buffer alive across the call.)
+
+    Returns (outs, statuses): outs[b] is the temp [g, T] (None where the
+    caller supplied out_rowp), valid iff statuses[b] == 0 (1 = rank-
+    deficient).  None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not nthreads:
+        nthreads = int(os.environ.get("NANORQ_HOST_THREADS", "1"))
+    nb = len(blocks)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    ngaps = np.fromiter((g.size for g, _, _, _, _ in blocks), np.int32, nb)
+    nrs = np.fromiter((w.shape[0] for _, w, _, _, _ in blocks), np.int32, nb)
+
+    def cat(parts, dtype):
+        out = np.concatenate([np.ascontiguousarray(p, dtype).reshape(-1) for p in parts]) \
+            if any(p.size for p in parts) else np.zeros(1, dtype)
+        offs = np.zeros(nb, np.int64)
+        offs[1:] = np.cumsum([p.size for p in parts[:-1]])
+        return out, offs
+
+    outs: list = [None] * nb
+    orows = []
+    for j, (g, _, _, _, op) in enumerate(blocks):
+        if op is None:
+            outs[j] = np.empty((g.size, T), np.uint8)
+            op = np.uint64(outs[j].ctypes.data) + np.arange(g.size, dtype=np.uint64) * np.uint64(T)
+        orows.append(op)
+
+    gaps_all, gaps_off = cat([g for g, _, _, _, _ in blocks], np.int32)
+    W_all, w_off = cat([w for _, w, _, _, _ in blocks], np.uint8)
+    d0p_all, dp_off = cat([d for _, _, d, _, _ in blocks], np.uint64)
+    yp_all, yp_off = cat([y for _, _, _, y, _ in blocks], np.uint64)
+    orow_all, op_off = cat(orows, np.uint64)
+    statuses = np.empty(nb, np.int32)
+
+    lib.nrq_host_residual(
+        nb, T, kc,
+        nrs.ctypes.data_as(i32p),
+        ngaps.ctypes.data_as(i32p),
+        gaps_off.ctypes.data_as(i64p), gaps_all.ctypes.data_as(i32p),
+        w_off.ctypes.data_as(i64p), W_all.ctypes.data_as(u8p),
+        dp_off.ctypes.data_as(i64p), d0p_all.ctypes.data_as(u64p),
+        yp_off.ctypes.data_as(i64p), yp_all.ctypes.data_as(u64p),
         op_off.ctypes.data_as(i64p), orow_all.ctypes.data_as(u64p),
         statuses.ctypes.data_as(i32p),
         nthreads,

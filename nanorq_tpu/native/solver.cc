@@ -1980,4 +1980,84 @@ void nrq_res_rinv(int32_t nb, const int32_t* nrs, const int32_t* gs,
   for (auto& t : workers) t.join();
 }
 
+// Host-native residual arm: repair WITHOUT a per-pattern system solve.
+// Against the canonical (loss-independent, cached) factorization each
+// received repair symbol satisfies y_r = w_r . D; splitting D into the
+// received part D0 and the unknown gap rows X gives  X = R (y ^ W D0)
+// with R the left inverse of G = W[:, gaps] (computed here, res_rinv_block).
+// The payload work is ONE axpy sweep over the received columns
+// (column-outer: each D0 row is read once from memory while the nr resid
+// rows stay cache-hot), then a tiny [g, nr] combine into the per-row output
+// destinations.  Beats the patched-system solve when nr x Kp axpy work is
+// smaller than peel + double substitution — i.e. at small K'.
+// d0p entries of 0 mark zero rows (gaps, padding, never-received) and are
+// skipped.  statuses[b]: 0 ok, 1 rank-deficient (feed more symbols, retry).
+void nrq_host_residual(
+    int32_t nb, int32_t T, int32_t kc,
+    const int32_t* nrs,
+    const int32_t* ngaps, const int64_t* gaps_off, const int32_t* gaps_all,
+    const int64_t* w_off, const uint8_t* W_all,
+    const int64_t* dp_off, const uint64_t* d0p_all,
+    const int64_t* yp_off, const uint64_t* yp_all,
+    const int64_t* op_off, const uint64_t* out_rowp_all,
+    int32_t* statuses, int32_t nthreads) {
+  auto run_range = [&](int b0, int b1) {
+    std::vector<uint8_t> G, R, resid, acc, scratch;
+    for (int b = b0; b < b1; b++) {
+      const int nr = nrs[b], g = ngaps[b];
+      const int32_t* gaps = gaps_all + gaps_off[b];
+      const uint8_t* W = W_all + w_off[b];
+      const uint64_t* d0p = d0p_all + dp_off[b];
+      const uint64_t* yp = yp_all + yp_off[b];
+      const uint64_t* op = out_rowp_all + op_off[b];
+      G.resize((size_t)nr * std::max(g, 1));
+      for (int r = 0; r < nr; r++)
+        for (int j = 0; j < g; j++)
+          G[(size_t)r * g + j] = W[(size_t)r * kc + gaps[j]];
+      R.resize((size_t)std::max(g, 1) * nr);
+      if ((statuses[b] = res_rinv_block(nr, g, G.data(), R.data(), scratch)))
+        continue;
+      resid.resize((size_t)nr * T);
+      for (int r = 0; r < nr; r++)
+        memcpy(resid.data() + (size_t)r * T, (const uint8_t*)(uintptr_t)yp[r], T);
+      for (int c = 0; c < kc; c++) {
+        const uint8_t* src = (const uint8_t*)(uintptr_t)d0p[c];
+        if (!src) continue;
+        for (int r = 0; r < nr; r++) {
+          uint8_t beta = W[(size_t)r * kc + c];
+          if (!beta) continue;
+          uint8_t* dst = resid.data() + (size_t)r * T;
+          if (beta == 1) rxor(dst, src, T);
+          else row_axpy(dst, src, beta, T);
+        }
+      }
+      acc.resize(T);
+      for (int j = 0; j < g; j++) {
+        memset(acc.data(), 0, T);
+        const uint8_t* rrow = R.data() + (size_t)j * nr;
+        for (int r = 0; r < nr; r++) {
+          uint8_t beta = rrow[r];
+          if (!beta) continue;
+          const uint8_t* src = resid.data() + (size_t)r * T;
+          if (beta == 1) rxor(acc.data(), src, T);
+          else row_axpy(acc.data(), src, beta, T);
+        }
+        memcpy((uint8_t*)(uintptr_t)op[j], acc.data(), T);
+      }
+    }
+  };
+  int nt = std::min<int>(std::max<int>(nthreads, 1), nb);
+  if (nt <= 1) {
+    run_range(0, nb);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int w = 0; w < nt; w++) {
+    int b0 = (int)((int64_t)nb * w / nt), b1 = (int)((int64_t)nb * (w + 1) / nt);
+    workers.emplace_back(run_range, b0, b1);
+  }
+  for (auto& t : workers) t.join();
+}
+
 }  // extern "C"

@@ -113,20 +113,25 @@ def test_adaptive_backend_cold_host_warm_device():
         dec.add_symbols(rep_pl, [make_tag(0, int(e)) for e in rep_esis], io)
         return dec, out, io
 
+    def cpu_blocks():
+        c = stats.snapshot()["counters"]
+        # small K': the auto policy may pick the solve-free residual arm
+        return c.get("repair_host_blocks", 0) + c.get("repair_res_host_blocks", 0)
+
     cc.clear_decoder_cache()
     dec, out, io = load()
-    c0 = stats.snapshot()["counters"].get("repair_host_blocks", 0)
-    assert dec.repair_all(io)  # cold: auto -> host arm
-    assert stats.snapshot()["counters"].get("repair_host_blocks", 0) - c0 == 1
+    c0 = cpu_blocks()
+    assert dec.repair_all(io)  # cold: auto -> a native CPU arm
+    assert cpu_blocks() - c0 == 1
     assert np.array_equal(out, data)
 
     dec, out, io = load()
     assert dec.repair_all(io, backend="device")  # caches the device plan
     assert np.array_equal(out, data)
     dec, out, io = load()
-    c0 = stats.snapshot()["counters"].get("repair_host_blocks", 0)
+    c0 = cpu_blocks()
     assert dec.repair_all(io)  # warm: auto -> device arm
-    assert stats.snapshot()["counters"].get("repair_host_blocks", 0) - c0 == 0
+    assert cpu_blocks() - c0 == 0
     assert np.array_equal(out, data)
 
 

@@ -123,3 +123,55 @@ def test_wrow_memo_reuse():
     W1 = cc.res_wrows(P, isis)
     W2 = cc.res_wrows(P, isis)
     assert np.array_equal(W1, W2)
+
+
+def test_res_host_roundtrip_and_auto_policy():
+    """backend="res_host" (native solve-free repair) round-trips bit-exact,
+    and the auto policy routes cold small-K' patterns through it."""
+    import os
+
+    import numpy as np
+
+    from nanorq_tpu.codec import cache as cc
+    from nanorq_tpu.codec.api import Decoder, Encoder
+    from nanorq_tpu.codec.oti import make_tag
+    from nanorq_tpu.io.ioctx import MemoryIO
+    from nanorq_tpu.native import native_available
+    from nanorq_tpu.utils import stats
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    K, nb, T = 60, 6, 96
+    rng = np.random.default_rng(9)
+    F = K * T * nb
+    data = rng.integers(0, 256, F, dtype=np.uint8)
+    payloads = data.reshape(nb * K, T)
+    enc = Encoder(F, T, Al=8, Z=nb)
+    src = MemoryIO(data)
+
+    def fresh():
+        dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
+        out = np.zeros(F, np.uint8)
+        io = MemoryIO(out)
+        rng2 = np.random.default_rng(10)
+        for sbn in range(nb):
+            gaps = np.nonzero(rng2.random(K) < 0.1)[0]
+            rep = np.arange(K, K + gaps.size + 2)
+            pl = enc.encode_batch(sbn, rep, src)
+            keep = np.setdiff1d(np.arange(K), gaps)
+            dec.add_symbols(payloads[sbn * K + keep], [make_tag(sbn, int(e)) for e in keep], io)
+            dec.add_symbols(pl, [make_tag(sbn, int(e)) for e in rep], io)
+        return dec, out, io
+
+    dec, out, io = fresh()
+    cc.clear_decoder_cache()
+    assert dec.repair_all(io, backend="res_host")
+    assert np.array_equal(out, data)
+
+    # auto at small K' routes cold blocks through the host residual arm
+    dec, out, io = fresh()
+    cc.clear_decoder_cache()
+    before = stats.snapshot()["counters"].get("repair_res_host_blocks", 0)
+    assert dec.repair_all(io)  # auto
+    assert np.array_equal(out, data)
+    assert stats.snapshot()["counters"].get("repair_res_host_blocks", 0) > before
