@@ -1550,6 +1550,21 @@ inline void rxor(uint8_t* __restrict dst, const uint8_t* __restrict src, int n) 
 
 namespace {
 
+// Edge-loop prefetch: pull the row for edge e+PF_DIST toward L1 while edge
+// e's XOR runs (the rxor of one 1+ KB row is long enough to hide most of an
+// L3/DRAM miss at this distance).
+constexpr size_t PF_DIST = 6;
+
+inline void prefetch_row(const uint8_t* p, int n) {
+#if defined(__SSE__) || defined(__AVX2__)
+  for (int off = 0; off < n; off += 64)
+    _mm_prefetch((const char*)p + off, _MM_HINT_T0);
+#else
+  (void)p;
+  (void)n;
+#endif
+}
+
 struct StageClk {
   double* acc;  // [6] ms accumulators (solve, s1, s2, s3, s4, s5) or null
   struct timespec t0;
@@ -1601,10 +1616,15 @@ void host_repair_block(
   auto RHS = [&](int s) { return rhs.data() + (size_t)s * T; };
   auto XU = [&](int j) { return xu.data() + (size_t)j * T; };
 
-  // stage 1: z = T^-1 y (tri edges ascending in k)
+  // stage 1: z = T^-1 y (tri edges ascending in k).  Source rows are
+  // scattered over the z buffer (larger than L2 at big K'), so prefetch a
+  // few edges ahead to hide the cache-miss latency behind the current XOR.
   for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
   const size_t nte = sv->tri_ek.size();
-  for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  for (size_t e = 0; e < nte; e++) {
+    if (e + PF_DIST < nte) prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
+    rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  }
   ck.mark(1);
 
   // stage 2: Schur RHS over the selected dense-pivot rows order[i..i+u)
@@ -1644,8 +1664,14 @@ void host_repair_block(
   // stage 4: xa = T^-1 (y ^ Ut xu), reusing the z buffer
   for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
   const size_t nue = sv->ut_ek.size();
-  for (size_t e = 0; e < nue; e++) rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
-  for (size_t e = 0; e < nte; e++) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  for (size_t e = 0; e < nue; e++) {
+    if (e + PF_DIST < nue) prefetch_row(Z(sv->ut_ek[e + PF_DIST]), T);
+    rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
+  }
+  for (size_t e = 0; e < nte; e++) {
+    if (e + PF_DIST < nte) prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
+    rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  }
   ck.mark(4);
 
   // stage 5: gap outputs = XOR C[cols] with C addressed through the maps.
