@@ -1977,6 +1977,71 @@ int res_rinv_block(int nr, int g, const uint8_t* G, uint8_t* R,
   return 0;
 }
 
+// Pivot-restricted variant: find g row indices piv[] of G whose square
+// submatrix S = G[piv, :] is invertible (greedy GE in row order), and
+// return Rinv [g, g] = S^{-1}.  Then X = Rinv . resid[piv] — the caller
+// only has to compute residuals for the g pivot rows instead of all nr,
+// which shrinks the dominant W.D0 sweep by ~nr/g (~2x at 6% loss + 5%
+// overhead).  0 ok, 1 rank-deficient.
+int res_pivinv_block(int nr, int g, const uint8_t* G, int32_t* piv,
+                     uint8_t* Rinv, std::vector<uint8_t>& scratch) {
+  if (g == 0) return 0;
+  // Stage 1: greedy row-order pivot hunt on a working copy of G.  Column s
+  // eliminates only from the not-yet-taken rows (taken rows never re-enter).
+  scratch.assign((size_t)nr * g, 0);
+  auto A = [&](int r) { return scratch.data() + (size_t)r * g; };
+  memcpy(scratch.data(), G, (size_t)nr * g);
+  std::vector<uint8_t> taken(nr, 0);
+  for (int s = 0; s < g; s++) {
+    int p = -1;
+    for (int r = 0; r < nr; r++)
+      if (!taken[r] && A(r)[s]) { p = r; break; }
+    if (p < 0) return 1;
+    piv[s] = p;
+    taken[p] = 1;
+    // the pivot row is left unnormalized; row_r ^= (A(r)[s]/A(p)[s]) * row_p
+    // zeroes column s of every remaining row exactly
+    const uint8_t* mulp = GF_MUL[OCT_INV[A(p)[s]]];
+    for (int r = 0; r < nr; r++) {
+      if (taken[r] || !A(r)[s]) continue;
+      uint8_t beta = mulp[A(r)[s]];
+      if (beta == 1) rxor(A(r) + s, A(p) + s, g - s);
+      else row_axpy(A(r) + s, A(p) + s, beta, g - s);
+    }
+  }
+  // Stage 2: invert S = G[piv, :] (original rows) by Gauss-Jordan [S | I].
+  const int w = 2 * g;
+  scratch.assign((size_t)g * w, 0);
+  auto B = [&](int r) { return scratch.data() + (size_t)r * w; };
+  for (int r = 0; r < g; r++) {
+    memcpy(B(r), G + (size_t)piv[r] * g, g);
+    B(r)[g + r] = 1;
+  }
+  for (int s = 0; s < g; s++) {
+    int p = -1;
+    for (int r = s; r < g; r++)
+      if (B(r)[s]) { p = r; break; }
+    if (p < 0) return 1;  // cannot happen: S is invertible by construction
+    if (p != s)
+      for (int j = 0; j < w; j++) std::swap(B(s)[j], B(p)[j]);
+    uint8_t inv = OCT_INV[B(s)[s]];
+    if (inv != 1) {
+      const uint8_t* mul = GF_MUL[inv];
+      uint8_t* row = B(s);
+      for (int j = 0; j < w; j++) row[j] = mul[row[j]];
+    }
+    for (int r = 0; r < g; r++) {
+      if (r == s) continue;
+      uint8_t beta = B(r)[s];
+      if (!beta) continue;
+      if (beta == 1) rxor(B(r), B(s), w);
+      else row_axpy(B(r), B(s), beta, w);
+    }
+  }
+  for (int s = 0; s < g; s++) memcpy(Rinv + (size_t)s * g, B(s) + g, g);
+  return 0;
+}
+
 }  // namespace
 
 // Per-block G matrices are concatenated (g_off elements into G_all); R_all
@@ -2009,15 +2074,18 @@ void nrq_res_rinv(int32_t nb, const int32_t* nrs, const int32_t* gs,
 // Host-native residual arm: repair WITHOUT a per-pattern system solve.
 // Against the canonical (loss-independent, cached) factorization each
 // received repair symbol satisfies y_r = w_r . D; splitting D into the
-// received part D0 and the unknown gap rows X gives  X = R (y ^ W D0)
-// with R the left inverse of G = W[:, gaps] (computed here, res_rinv_block).
-// The payload work is ONE axpy sweep over the received columns
-// (column-outer: each D0 row is read once from memory while the nr resid
-// rows stay cache-hot), then a tiny [g, nr] combine into the per-row output
-// destinations.  Beats the patched-system solve when nr x Kp axpy work is
-// smaller than peel + double substitution — i.e. at small K'.
-// d0p entries of 0 mark zero rows (gaps, padding, never-received) and are
-// skipped.  statuses[b]: 0 ok, 1 rank-deficient (feed more symbols, retry).
+// received part D0 and the unknown gap rows X gives  resid = G X with
+// G = W[:, gaps] and resid = y ^ W D0.  Only g independent rows are needed
+// to solve for the g unknowns: res_pivinv_block picks pivot rows piv[] and
+// inverts the square subsystem, so the payload sweep touches g rows, not
+// all nr (~2x less axpy work at 6% loss + 5% overhead).  The sweep is
+// column-outer over the received columns (each D0 row is read once from
+// memory while the g resid rows stay cache-hot), then a tiny [g, g]
+// combine into the per-row output destinations.  Beats the patched-system
+// solve when g x Kp axpy work is smaller than peel + double substitution —
+// i.e. at small K'.  d0p entries of 0 mark zero rows (gaps, padding,
+// never-received) and are skipped.  statuses[b]: 0 ok, 1 rank-deficient
+// (feed more symbols, retry).
 void nrq_host_residual(
     int32_t nb, int32_t T, int32_t kc,
     const int32_t* nrs,
@@ -2028,7 +2096,8 @@ void nrq_host_residual(
     const int64_t* op_off, const uint64_t* out_rowp_all,
     int32_t* statuses, int32_t nthreads) {
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> G, R, resid, acc, scratch;
+    std::vector<uint8_t> G, Rinv, Wp, resid, acc, scratch;
+    std::vector<int32_t> piv;
     for (int b = b0; b < b1; b++) {
       const int nr = nrs[b], g = ngaps[b];
       const int32_t* gaps = gaps_all + gaps_off[b];
@@ -2040,17 +2109,23 @@ void nrq_host_residual(
       for (int r = 0; r < nr; r++)
         for (int j = 0; j < g; j++)
           G[(size_t)r * g + j] = W[(size_t)r * kc + gaps[j]];
-      R.resize((size_t)std::max(g, 1) * nr);
-      if ((statuses[b] = res_rinv_block(nr, g, G.data(), R.data(), scratch)))
+      piv.resize(std::max(g, 1));
+      Rinv.resize((size_t)std::max(g, 1) * g);
+      if ((statuses[b] =
+               res_pivinv_block(nr, g, G.data(), piv.data(), Rinv.data(), scratch)))
         continue;
-      resid.resize((size_t)nr * T);
-      for (int r = 0; r < nr; r++)
-        memcpy(resid.data() + (size_t)r * T, (const uint8_t*)(uintptr_t)yp[r], T);
+      // compact the g pivot rows of W and y; the sweep never reads the rest
+      Wp.resize((size_t)std::max(g, 1) * kc);
+      resid.resize((size_t)std::max(g, 1) * T);
+      for (int r = 0; r < g; r++) {
+        memcpy(Wp.data() + (size_t)r * kc, W + (size_t)piv[r] * kc, kc);
+        memcpy(resid.data() + (size_t)r * T, (const uint8_t*)(uintptr_t)yp[piv[r]], T);
+      }
       for (int c = 0; c < kc; c++) {
         const uint8_t* src = (const uint8_t*)(uintptr_t)d0p[c];
         if (!src) continue;
-        for (int r = 0; r < nr; r++) {
-          uint8_t beta = W[(size_t)r * kc + c];
+        for (int r = 0; r < g; r++) {
+          uint8_t beta = Wp[(size_t)r * kc + c];
           if (!beta) continue;
           uint8_t* dst = resid.data() + (size_t)r * T;
           if (beta == 1) rxor(dst, src, T);
@@ -2060,8 +2135,8 @@ void nrq_host_residual(
       acc.resize(T);
       for (int j = 0; j < g; j++) {
         memset(acc.data(), 0, T);
-        const uint8_t* rrow = R.data() + (size_t)j * nr;
-        for (int r = 0; r < nr; r++) {
+        const uint8_t* rrow = Rinv.data() + (size_t)j * g;
+        for (int r = 0; r < g; r++) {
           uint8_t beta = rrow[r];
           if (!beta) continue;
           const uint8_t* src = resid.data() + (size_t)r * T;
