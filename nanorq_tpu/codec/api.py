@@ -792,45 +792,82 @@ class Decoder(_CodecBase):
         work: [(sbn, gaps, isis, overhead)].  Returns like
         _repair_host_batch; None when the native factorization is
         unavailable (caller reroutes)."""
-        from nanorq_tpu.native import host_residual
+        from nanorq_tpu.native import host_residual_flat
         from nanorq_tpu.utils import stats
 
         P, T = self.P, self.scheme.T
+        scheme = self.scheme
         kc = _cache.res_kcols(P)
         Kp = P.Kp
-        blocks, metas = [], []
+        nb = len(work)
         with stats.timer("res_prep"):
+            # hoisted write-through eligibility (was per-block in
+            # _out_row_ptrs): one buffer check for the whole batch
+            buf_base = None
+            if io is not None and scheme.N == 1:
+                buf = getattr(io, "buffer", None)
+                if (buf is not None and io.writable and buf.flags["C_CONTIGUOUS"]
+                        and buf.size >= scheme.F):
+                    buf_base = np.uint64(buf.ctypes.data)
+            isi_list, gaps_list = [], []
             for sbn, gaps, isis, ov in work:
                 ng = gaps.size
                 rep_isis = np.empty(ng + ov, np.uint32)
                 rep_isis[:ng] = isis[gaps]
                 rep_isis[ng:] = isis[Kp : Kp + ov]
-                W = _cache.res_wrows(P, rep_isis)
-                if W is None:
-                    return None  # no native factorization: caller reroutes
+                isi_list.append(rep_isis)
+                gaps_list.append(gaps)
+            flat = _cache.res_wrows_flat(P, isi_list)
+            if flat is None:
+                return None  # no native factorization: caller reroutes
+            W_all, _, nrs = flat
+            ngaps = np.fromiter((g.size for g in gaps_list), np.int64, nb)
+            gaps_all = (np.concatenate(gaps_list).astype(np.int32)
+                        if nb else np.zeros(0, np.int32))
+            gaps_off = np.zeros(nb, np.int64)
+            if nb > 1:
+                np.cumsum(ngaps[:-1], out=gaps_off[1:])
+            d0p_all = np.zeros(nb * kc, np.uint64)
+            yp_all = np.empty(int(nrs.sum()), np.uint64)
+            orow_all = np.empty(int(ngaps.sum()), np.uint64)
+            temps: list = [None] * nb
+            yo = oo = 0
+            for j, (sbn, gaps, isis, ov) in enumerate(work):
+                ng, nr = gaps.size, int(nrs[j])
                 b = self._block(sbn)
-                d0p = np.zeros(kc, np.uint64)
                 if b.D is not None:
                     have = np.nonzero(b.got)[0]
-                    d0p[have] = np.uint64(b.D.ctypes.data) + have.astype(np.uint64) * np.uint64(
-                        b.D.strides[0]
-                    )
-                yp = np.uint64(b.rep_rows.ctypes.data) + np.arange(
-                    ng + ov, dtype=np.uint64
+                    d0p_all[j * kc + have] = np.uint64(b.D.ctypes.data) + have.astype(
+                        np.uint64
+                    ) * np.uint64(b.D.strides[0])
+                yp_all[yo : yo + nr] = np.uint64(b.rep_rows.ctypes.data) + np.arange(
+                    nr, dtype=np.uint64
                 ) * np.uint64(b.rep_rows.strides[0])
-                orowp = None if io is None else self._out_row_ptrs(io, sbn, gaps)
-                blocks.append((gaps, W, d0p, yp, orowp))
-                metas.append((sbn, gaps))
+                yo += nr
+                op = None
+                if buf_base is not None:
+                    base = symbol_ranges(scheme, sbn, 0, b.K)[0][0]
+                    offs = base + gaps.astype(np.uint64) * np.uint64(T)
+                    if not (ng and int(offs[-1]) + T > scheme.F):  # short tail
+                        op = buf_base + offs
+                if op is None:
+                    temps[j] = np.empty((ng, T), np.uint8)
+                    op = np.uint64(temps[j].ctypes.data) + np.arange(
+                        ng, dtype=np.uint64
+                    ) * np.uint64(T)
+                orow_all[oo : oo + ng] = op
+                oo += ng
         with stats.timer("host_residual"):
-            res = host_residual(kc, blocks, T)
-        if res is None:
+            statuses = host_residual_flat(
+                kc, T, nrs, ngaps, gaps_all, gaps_off, W_all, d0p_all, yp_all, orow_all
+            )
+        if statuses is None:
             return None
-        outs, statuses = res
-        stats.count("repair_res_host_blocks", len(blocks))
+        stats.count("repair_res_host_blocks", nb)
         ok, results = True, []
-        for (sbn, gaps), (_, _, _, _, orowp), out, status in zip(metas, blocks, outs, statuses):
-            if status == 0:
-                results.append((sbn, gaps, None if orowp is not None else out))
+        for j, (sbn, gaps, _, _) in enumerate(work):
+            if statuses[j] == 0:
+                results.append((sbn, gaps, temps[j]))
             else:
                 stats.count("decode_rank_deficient")
                 stats.count("repair_block_failed")

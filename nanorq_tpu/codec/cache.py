@@ -227,6 +227,57 @@ def res_wrows(P: Params, isis: np.ndarray) -> np.ndarray | None:
     return out
 
 
+def res_wrows_flat(P: Params, isi_list: list) -> tuple | None:
+    """Stacked canonical combination rows for a BATCH of decode patterns:
+    (W_all [sum nr, kc] uint8, row_offs int64 [nb], nrs int64 [nb]).
+
+    One unique-ISI pass serves the whole batch: decode patterns draw their
+    repair ISIs from a small window above K', so blocks overwhelmingly
+    share rows and the per-block per-row memo walk of res_wrows collapses
+    to a handful of dict hits plus ONE fancy-index gather that emits the
+    flat layout the native host-residual call consumes (no per-block
+    arrays, no concat copy).  None when the native factorization is
+    unavailable."""
+    from nanorq_tpu.ops.wpath import w_rows
+    from nanorq_tpu.precode.device_schedule import _pad_rows
+    from nanorq_tpu.utils import stats
+
+    st = canonical_state(P)
+    if st is None:
+        return None
+    kc = res_kcols(P)
+    nb = len(isi_list)
+    nrs = np.fromiter((i.size for i in isi_list), np.int64, nb)
+    flat = np.concatenate(isi_list).astype(np.uint32) if nb else np.zeros(0, np.uint32)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    Wu = np.empty((uniq.size, kc), np.uint8)
+    missing = []
+    with _wrow_lock:
+        for j, isi in enumerate(uniq.tolist()):
+            got = _wrow_cache.get((P.Kp, isi))
+            if got is None:
+                missing.append(j)
+            else:
+                _wrow_cache.move_to_end((P.Kp, isi))
+                Wu[j] = got
+    if missing:
+        midx = np.asarray(missing, np.int64)
+        with stats.timer("res_wrows"):
+            W, _ = w_rows(st, _lt_rows_cached(P, uniq[midx]), n_cols=_pad_rows(st.M + 1))
+        rows = np.ascontiguousarray(W[:, :kc])
+        Wu[midx] = rows
+        cap = max(1, int(_WROW_CACHE_MB * (1 << 20) / kc))
+        with _wrow_lock:
+            for mi, j in enumerate(missing):
+                _wrow_cache[(P.Kp, int(uniq[j]))] = rows[mi]
+            while len(_wrow_cache) > cap:
+                _wrow_cache.popitem(last=False)
+    row_offs = np.zeros(nb, np.int64)
+    if nb > 1:
+        np.cumsum(nrs[:-1], out=row_offs[1:])
+    return Wu[inv], row_offs, nrs
+
+
 def _patched_rows(P: Params, isis: np.ndarray, overhead: int):
     """Binary rows (CSR) for a decode pattern, reusing cached encoder rows.
 

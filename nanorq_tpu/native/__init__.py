@@ -698,6 +698,56 @@ def host_residual(kc: int, blocks, T: int, nthreads: int = 0):
     return outs, statuses
 
 
+def host_residual_flat(kc: int, T: int, nrs, ngaps, gaps_all, gaps_off,
+                       W_all, d0p_all, yp_all, orow_all, nthreads: int = 0):
+    """Pre-flattened variant of host_residual: the caller supplies the
+    concatenated layouts directly (W_all [sum nr, kc] row-stacked, d0p_all
+    [nb*kc], yp_all [sum nr], orow_all [sum g], offsets derived from
+    nrs/ngaps here) so no per-block arrays or concat copies are built.
+    Returns statuses int32 [nb] (0 ok, 1 rank-deficient), or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not nthreads:
+        nthreads = int(os.environ.get("NANORQ_HOST_THREADS", "1"))
+    nb = len(nrs)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    nrs = np.ascontiguousarray(nrs, np.int32)
+    ngaps = np.ascontiguousarray(ngaps, np.int32)
+
+    def offs_of(sizes):
+        o = np.zeros(nb, np.int64)
+        if nb > 1:
+            np.cumsum(sizes[:-1].astype(np.int64), out=o[1:])
+        return o
+
+    yp_off = offs_of(nrs)
+    w_off = yp_off * kc
+    gaps_off = np.ascontiguousarray(gaps_off, np.int64)
+    op_off = offs_of(ngaps)
+    dp_off = np.arange(nb, dtype=np.int64) * kc
+    statuses = np.empty(nb, np.int32)
+
+    lib.nrq_host_residual(
+        nb, T, kc,
+        nrs.ctypes.data_as(i32p),
+        ngaps.ctypes.data_as(i32p),
+        gaps_off.ctypes.data_as(i64p), gaps_all.ctypes.data_as(i32p),
+        w_off.ctypes.data_as(i64p), W_all.ctypes.data_as(u8p),
+        dp_off.ctypes.data_as(i64p), d0p_all.ctypes.data_as(u64p),
+        yp_off.ctypes.data_as(i64p), yp_all.ctypes.data_as(u64p),
+        op_off.ctypes.data_as(i64p), orow_all.ctypes.data_as(u64p),
+        statuses.ctypes.data_as(i32p),
+        nthreads,
+    )
+    return statuses
+
+
 def lt_row_native(X: int, P) -> np.ndarray | None:
     """Testing probe: the native LT row generator's column indices for ISI X
     (None when the native library is unavailable)."""

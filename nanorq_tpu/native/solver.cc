@@ -1591,6 +1591,7 @@ void host_repair_block(
     std::vector<uint8_t>& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
     std::vector<uint8_t>& acc,
     std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof,
+    std::vector<uint8_t>& need1, std::vector<uint64_t>& bbits,
     double* stage_ms = nullptr) {
   StageClk ck(stage_ms);
   *status = 3;
@@ -1616,14 +1617,44 @@ void host_repair_block(
   auto RHS = [&](int s) { return rhs.data() + (size_t)s * T; };
   auto XU = [&](int j) { return xu.data() + (size_t)j * T; };
 
-  // stage 1: z = T^-1 y (tri edges ascending in k).  Source rows are
-  // scattered over the z buffer (larger than L2 at big K'), so prefetch a
-  // few edges ahead to hide the cache-miss latency behind the current XOR.
-  for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
+  // Backward-slice pruning: z is only ever read in slices — stage 2 reads
+  // it at the dense rows' pivot columns (all of z when an HDPC row is
+  // selected: its coefficients are dense), stage 5 at the gap rows' LT
+  // positions.  Mark the consumers, then one REVERSE pass over the
+  // ascending-k edge list closes the set under the substitution
+  // dependencies (edge (k,p) has p < k, so p's own incoming edges sit
+  // earlier in the list).  The sweep then touches only the consumers'
+  // ancestors; rows outside the set are never computed.
   const size_t nte = sv->tri_ek.size();
+  need1.assign(i, 0);
+  bool all1 = false;
+  for (int s = 0; s < u; s++) {
+    int r = sv->order[i + s];
+    if (r >= NB) { all1 = true; break; }  // HDPC RHS reads every z row
+    for (int32_t e = row_ptr[r]; e < row_ptr[r + 1]; e++) {
+      int p = pivpos[row_cols[e]];
+      if (p >= 0) need1[p] = 1;
+    }
+  }
+  if (all1 && i) memset(need1.data(), 1, i);
+  if (!all1)
+    for (int g = 0; g < ng; g++)
+      for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
+        int p = pivpos[gcols[e]];
+        if (p >= 0) need1[p] = 1;
+      }
+  if (!all1)
+    for (size_t e = nte; e-- > 0;)
+      if (need1[sv->tri_ek[e]]) need1[sv->tri_ep[e]] = 1;
+
+  // stage 1: z = T^-1 y on the consumed slice (tri edges ascending in k).
+  // Source rows are scattered over the z buffer, so prefetch a few edges
+  // ahead to hide the cache-miss latency behind the current XOR.
+  for (int k = 0; k < i; k++)
+    if (need1[k]) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
   for (size_t e = 0; e < nte; e++) {
     if (e + PF_DIST < nte) prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
-    rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+    if (need1[sv->tri_ek[e]]) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
   }
   ck.mark(1);
 
@@ -1661,32 +1692,62 @@ void host_repair_block(
   }
   ck.mark(3);
 
-  // stage 4: xa = T^-1 (y ^ Ut xu), reusing the z buffer
-  for (int k = 0; k < i; k++) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
+  // stage 4: the u-block correction as BITS, not payloads.  The full
+  // solution at pivot k is xa_k = z_k ^ delta_k with
+  // delta = T^-1 (Ut xu) = sum_j (T^-1 ut_col_j) xu_j — the correction
+  // lives in the span of the u xu rows, so instead of a second payload
+  // substitution over y (i scattered row reads + nue + nte T-byte XORs),
+  // propagate B = T^-1 Ut as i x u BITS through the same edges (word XORs,
+  // ~KBs of traffic) and fold the xu rows in at stage 5 by parity.
   const size_t nue = sv->ut_ek.size();
-  for (size_t e = 0; e < nue; e++) {
-    if (e + PF_DIST < nue) prefetch_row(Z(sv->ut_ek[e + PF_DIST]), T);
-    rxor(Z(sv->ut_ek[e]), XU(sv->ut_uc[e]), T);
-  }
-  for (size_t e = 0; e < nte; e++) {
-    if (e + PF_DIST < nte) prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
-    rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
+  const int W64 = (u + 63) >> 6;
+  bbits.assign((size_t)std::max(i, 1) * W64, 0);
+  auto BB = [&](int k) { return bbits.data() + (size_t)k * W64; };
+  for (size_t e = 0; e < nue; e++)
+    BB(sv->ut_ek[e])[sv->ut_uc[e] >> 6] ^= 1ull << (sv->ut_uc[e] & 63);
+  if (W64 == 1) {
+    for (size_t e = 0; e < nte; e++) bbits[sv->tri_ek[e]] ^= bbits[sv->tri_ep[e]];
+  } else {
+    for (size_t e = 0; e < nte; e++) {
+      uint64_t* bk = BB(sv->tri_ek[e]);
+      const uint64_t* bp = BB(sv->tri_ep[e]);
+      for (int w = 0; w < W64; w++) bk[w] ^= bp[w];
+    }
   }
   ck.mark(4);
 
-  // stage 5: gap outputs = XOR C[cols] with C addressed through the maps.
-  // Accumulate in a hot local row, then ONE copy to the per-ROW destination
-  // (callers may point destinations straight into the decode output object;
+  // stage 5: gap outputs = XOR C[cols]; C[piv k] = z_k ^ delta_k,
+  // C[u col j] = xu_j.  Per gap: XOR the stage-1 z rows, collect the
+  // parity of the B-rows touched, then XOR the parity-selected xu rows —
+  // xu is u x T (KBs): those reads stay cache-hot.  Accumulate in a hot
+  // local row, then ONE copy to the per-ROW destination (callers may
+  // point destinations straight into the decode output object;
   // XOR-accumulating into that far memory directly would re-read it per
   // neighbor).
   acc.resize(T);
+  std::vector<uint64_t> par(W64);
   for (int g = 0; g < ng; g++) {
     uint8_t* o = acc.data();
     memset(o, 0, T);
+    for (int w = 0; w < W64; w++) par[w] = 0;
     for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
       int c = gcols[e];
       int p = pivpos[c];
-      rxor(o, p >= 0 ? Z(p) : XU(ucolof[c]), T);
+      if (p >= 0) {
+        rxor(o, Z(p), T);
+        const uint64_t* bp = BB(p);
+        for (int w = 0; w < W64; w++) par[w] ^= bp[w];
+      } else {
+        par[ucolof[c] >> 6] ^= 1ull << (ucolof[c] & 63);
+      }
+    }
+    for (int w = 0; w < W64; w++) {
+      uint64_t m = par[w];
+      while (m) {
+        int j = (w << 6) + __builtin_ctzll(m);
+        m &= m - 1;
+        rxor(o, XU(j), T);
+      }
     }
     memcpy((uint8_t*)(uintptr_t)outpp[g], o, T);
   }
@@ -1723,7 +1784,8 @@ void nrq_host_repair(
   const bool timing = getenv("NRQ_TIMING") != nullptr;
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu, acc;
+    std::vector<uint8_t> z, rhs, xu, acc, need1;
+    std::vector<uint64_t> bbits;
     std::vector<int32_t> pivpos(L), ucolof(L);
     std::vector<uint64_t> outrp;
     for (int b = b0; b < b1; b++) {
@@ -1735,7 +1797,7 @@ void nrq_host_repair(
           row_ptr_all + rp_off[b], row_cols_all + rc_off[b], hdpc,
           rowp_all + dp_off[b], ngaps[b], gap_ptr_all + gp_off[b],
           gap_cols_all + gc_off[b], outrp.data(),
-          statuses + b, z, rhs, xu, acc, pivpos, ucolof,
+          statuses + b, z, rhs, xu, acc, pivpos, ucolof, need1, bbits,
           (timing && b0 == 0) ? stage_ms : nullptr);
     }
   };
@@ -1854,7 +1916,8 @@ void nrq_host_repair2(
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   const LtParams lp{(uint32_t)W, (uint32_t)P1, (uint32_t)Pv, (uint32_t)J};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu, acc;
+    std::vector<uint8_t> z, rhs, xu, acc, need1;
+    std::vector<uint64_t> bbits;
     std::vector<int32_t> pivpos(L), ucolof(L);
     std::vector<int32_t> rptr, rcols, gptr, gcols;
     for (int b = b0; b < b1; b++) {
@@ -1900,7 +1963,7 @@ void nrq_host_repair2(
       host_repair_block(L, W, S, H, T, NB, rptr.data(), rcols.data(), hdpc,
                         rowp_all + dp_off[b], ng, gptr.data(), gcols.data(),
                         out_rowp_all + op_off[b], statuses + b, z, rhs,
-                        xu, acc, pivpos, ucolof,
+                        xu, acc, pivpos, ucolof, need1, bbits,
                         (timing && b0 == 0) ? stage_ms : nullptr);
     }
   };
