@@ -620,7 +620,12 @@ class Decoder(_CodecBase):
         nb = len(items)
         nb_pad = 1 << (nb - 1).bit_length() if nb > 1 else 1
         if mesh is not None:
-            nb_pad = max(nb_pad, int(np.prod(mesh.devices.shape)))
+            # shard axis must divide evenly into the mesh: round the padded
+            # batch up to a MULTIPLE of the device count (a pow2 >= ndev is
+            # not always divisible by a non-pow2 ndev, e.g. 4 blocks on 3
+            # devices); zero-padded blocks are exact no-ops
+            ndev = int(np.prod(mesh.devices.shape))
+            nb_pad = -(-max(nb_pad, ndev) // ndev) * ndev
         D = np.zeros((nb_pad, M_pad, T), np.uint8)
         for j, (sbn, gaps, ov, _p, Dh) in enumerate(items):
             D[j] = Dh if Dh is not None else self._repair_D(sbn, gaps, ov, M_pad)

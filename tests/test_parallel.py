@@ -128,6 +128,19 @@ def test_repair_all_mesh_sharded():
     _pattern_roundtrip(K=64, Z=8, T=48, mesh=make_mesh(), seed=2)
 
 
+def test_repair_all_mesh_nonpow2_devices():
+    """repair_all(mesh=...) on a NON-power-of-two device count (3 of the 8
+    virtual devices): the stacked batch pad must round up to a multiple of
+    the mesh size or jax.device_put rejects the sharding (advisor r4,
+    medium).  4 blocks on 3 devices is exactly the failing shape."""
+    import jax
+
+    from nanorq_tpu.parallel.mesh import make_mesh
+
+    mesh3 = make_mesh(jax.devices()[:3])
+    _pattern_roundtrip(K=64, Z=4, T=48, mesh=mesh3, seed=3)
+
+
 def test_encoder_mesh_sharded():
     """Encoder.generate_symbols/encode_batch(mesh=...) shard the payload
     width over the 8-device mesh and stay bit-exact vs the single-device

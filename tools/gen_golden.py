@@ -109,6 +109,13 @@ def main():
             f.write(rq)
         manifest[name] = meta
         print(f"{name}: {len(rq)} bytes rq, repair sha {meta['sha256_repair'][:16]}")
+    manifest["_validation"] = (
+        "sha256_data is cross-implementation conformance-validated: every "
+        ".rq stream here decodes bit-exact under the REFERENCE C binary "
+        "(built with tests/interop/oblas_shim; gate: tests/test_interop.py"
+        "::test_golden_corpus_reference_decodes), not just re-decoded by "
+        "the implementation that produced it."
+    )
     with open(os.path.join(GOLDEN_DIR, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     print(f"wrote {len(manifest)} golden files to {GOLDEN_DIR}")
