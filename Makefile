@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip graph docs soak
+.PHONY: test test-tpu bench bench-full build-native clean-native roundtrip graph docs soak ubsan-native asan-native sanitize
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -23,6 +23,24 @@ build-native:
 
 clean-native:
 	rm -rf nanorq_tpu/native/_build
+
+# native runtime under sanitizers (reference Makefile:95-99 analog), two
+# halves because LD_PRELOADed ASan aborts inside the XLA compiler:
+#  - ubsan-native: UBSan linked into the .so, FULL native+residual pytest
+#    suites (device paths included)
+#  - asan-native: ASan+UBSan preloaded over a jax-free driver covering the
+#    raw-pointer write-through paths (_row_ptrs/_out_row_ptrs)
+ubsan-native:
+	NANORQ_NATIVE_SANITIZE=undefined \
+	$(PY) -m pytest tests/test_native.py tests/test_residual.py -q
+
+asan-native:
+	NANORQ_NATIVE_SANITIZE=address,undefined \
+	LD_PRELOAD=$$(gcc -print-file-name=libasan.so) \
+	ASAN_OPTIONS=detect_leaks=0 \
+	$(PY) tools/asan_drive.py
+
+sanitize: ubsan-native asan-native
 
 # end-to-end file round trip through the CLIs (reference `make test` analog)
 roundtrip:

@@ -27,11 +27,13 @@ class IOContext:
         raise NotImplementedError
 
     def write_rows_at(self, offsets, rows) -> None:
-        """Write uniform-length rows at the given byte offsets, clamped to
-        the object size.  Default: sort by offset and merge adjacent rows
-        into single write_at calls (an in-order burst collapses to one
-        write).  Subclasses with random-access buffers override with a
-        vectorized scatter."""
+        """Write uniform-length rows at the given byte offsets.  Callers
+        must pre-clamp tail rows that would run past the object size (the
+        codec does: _write_symbols_coalesced truncates the final short
+        symbol before calling here).  Default: sort by offset and merge
+        adjacent rows into single write_at calls (an in-order burst
+        collapses to one write).  Subclasses with random-access buffers
+        override with a vectorized scatter."""
         offsets = np.asarray(offsets, np.int64)
         rows = np.asarray(rows, np.uint8)
         if rows.ndim == 1:

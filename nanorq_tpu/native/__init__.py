@@ -28,16 +28,27 @@ def _src_hash() -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
+def _sanitize_mode() -> str:
+    """NANORQ_NATIVE_SANITIZE=address,undefined builds the native library
+    with -fsanitize (the analog of the reference's ubsan Makefile target,
+    /root/reference/Makefile:95-99); `make ubsan-native` runs the native +
+    residual test suites under it.  Sanitized builds live in their own
+    subdirectory so they never shadow the production blob."""
+    return os.environ.get("NANORQ_NATIVE_SANITIZE", "").strip()
+
+
 def _build_dirs(srchash: str):
     """Candidate build directories, preferred first: the in-package dir
     (fast, shared across users of a writable checkout), then a per-user
     cache keyed on source hash (read-only / system installs — the package
     dir under site-packages is often not writable)."""
-    yield os.path.join(_HERE, "_build")
+    san = _sanitize_mode()
+    sub = "_build" if not san else os.path.join("_build", "san-" + san.replace(",", "-"))
+    yield os.path.join(_HERE, sub)
     cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
         os.path.expanduser("~"), ".cache"
     )
-    yield os.path.join(cache_root, "nanorq_tpu", srchash[:16])
+    yield os.path.join(cache_root, "nanorq_tpu", ("san-" if san else "") + srchash[:16])
 
 
 def _lib_path(build_dir: str) -> str:
@@ -52,6 +63,13 @@ def _build(build_dir: str, srchash: str) -> bool:
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             "-pthread", "-o", lib_path + ".tmp", _SRC,
         ]
+        san = _sanitize_mode()
+        if san:
+            # -g for symbolized reports; recovery off so any finding fails
+            # the test run loudly.  ASan's runtime stays dynamic in a
+            # shared lib — run python under LD_PRELOAD=libasan.so
+            # (`make ubsan-native` does).
+            cmd[1:1] = ["-g", f"-fsanitize={san}", "-fno-sanitize-recover=all"]
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode != 0:
             return False

@@ -12,6 +12,7 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # for graph.load_capture
 from bench import REF_BASELINE  # single source of the reference numbers
 
 # Mb/s (encode, precalc, decode, decode_oh5)
@@ -24,6 +25,13 @@ BEGIN = "<!-- BENCH_TABLE:BEGIN (tools/regen_docs.py) -->"
 END = "<!-- BENCH_TABLE:END -->"
 
 
+def _dec(r):
+    """Honest decode column: fresh-pattern e2e when captured, else the warm
+    device number (which can also be None when the publish guard dropped a
+    degenerate cell)."""
+    return r.get("decode_e2e") or r.get("decode")
+
+
 def readme_table(det):
     rows = [
         "| K | encode Gbps (ref precalc) | fresh encode (ref encode) | decode @6% loss (ref) | decode 0% loss (ref) | agg x ref |",
@@ -34,9 +42,10 @@ def readme_table(det):
         e, p, d0, doh = REF.get(k, (None,) * 4)  # off-grid K: no ref column
         ref = lambda v: "-" if v is None else f"{v/1e3:.2f}"
         fresh = f"**{r['encode_fresh']:.1f}**" if "encode_fresh" in r else "-"
+        d = _dec(r)
         rows.append(
             f"| {k} | **{r['encode']:.1f}** ({ref(p)}) | {fresh} ({ref(e)}) "
-            f"| **{r['decode']:.1f}** ({ref(doh)}) | **{r['decode0']:.1f}** ({ref(d0)}) "
+            f"| {'**%.1f**' % d if d else '-'} ({ref(doh)}) | **{r['decode0']:.1f}** ({ref(d0)}) "
             f"| {r.get('vs_ref', 0):.1f}x |"
         )
     return "\n".join(rows)
@@ -44,17 +53,22 @@ def readme_table(det):
 
 def notes_table(det):
     rows = [
-        "| K | encode | fresh | decode @6% | decode0 | agg | vs ref | enc/dec prep ms | pipe |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| K | encode | fresh | decode e2e @6% | decode warm | decode0 | agg e2e | vs ref | enc/dec prep ms | arms (res/host/dev) |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    fmt = lambda v, p=1: "-" if not v else f"{v:.{p}f}"
     for k in sorted(det, key=int):
         r = det[k]
-        pipe = f"{r['pipe_speedup']:.2f}x" if "pipe_speedup" in r else "-"
-        fresh = f"{r['encode_fresh']:.1f}" if "encode_fresh" in r else "-"
+        arms = (
+            f"{fmt(r.get('e2e_res'))}/{fmt(r.get('e2e_host'))}/{fmt(r.get('e2e_device'))}"
+            if "e2e_host" in r
+            else "-"
+        )
         rows.append(
-            f"| {k} | {r['encode']:.1f} | {fresh} | {r['decode']:.1f} "
-            f"| {r['decode0']:.1f} | {r['agg']:.1f} | {r.get('vs_ref', 0):.2f}x "
-            f"| {r['solve_ms']:.0f} / {r['dec_solve_ms']:.0f} | {pipe} |"
+            f"| {k} | {r['encode']:.1f} | {fmt(r.get('encode_fresh'))} | {fmt(r.get('decode_e2e'))} "
+            f"| {fmt(r.get('decode'))} | {r['decode0']:.1f} | {fmt(r.get('agg_e2e') or r.get('agg'))} "
+            f"| {r.get('vs_ref', 0):.2f}x "
+            f"| {r['solve_ms']:.0f} / {r['dec_solve_ms']:.0f} | {arms} |"
         )
     return "\n".join(rows)
 
@@ -71,12 +85,9 @@ def splice(path, table, src_name):
 
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r03.json"
-    text = open(src).read().strip()
-    try:  # driver capture: a wrapper object with the bench line under "parsed"
-        rec = json.loads(text)
-        rec = rec.get("parsed", rec) if isinstance(rec, dict) else rec
-    except json.JSONDecodeError:  # raw bench stdout: last line is the JSON
-        rec = json.loads(text.splitlines()[-1])
+    from graph import load_capture  # shared failed-capture fallback
+
+    rec, src = load_capture(src)
     det = rec["detail"]
     splice("README.md", readme_table(det), src)
     splice("BENCH_NOTES.md", notes_table(det), src)
