@@ -1589,7 +1589,7 @@ void host_repair_block(
     const uint64_t* rowp, int ng, const int32_t* gptr, const int32_t* gcols,
     const uint64_t* outpp, int32_t* status,
     std::vector<uint8_t>& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
-    std::vector<uint8_t>& acc,
+    std::vector<uint8_t>& acc, std::vector<uint8_t>& m4r,
     std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof,
     std::vector<uint8_t>& need1, std::vector<uint64_t>& bbits,
     double* stage_ms = nullptr) {
@@ -1626,6 +1626,10 @@ void host_repair_block(
   // earlier in the list).  The sweep then touches only the consumers'
   // ancestors; rows outside the set are never computed.
   const size_t nte = sv->tri_ek.size();
+  if (stage_ms && getenv("NRQ_STRUCT"))
+    fprintf(stderr,
+            "host_repair_block: L=%d i=%d u=%d ng=%d nte=%zu nue=%zu\n", L, i,
+            u, ng, nte, sv->ut_ek.size());
   need1.assign(i, 0);
   bool all1 = false;
   for (int s = 0; s < u; s++) {
@@ -1647,13 +1651,29 @@ void host_repair_block(
     for (size_t e = nte; e-- > 0;)
       if (need1[sv->tri_ek[e]]) need1[sv->tri_ep[e]] = 1;
 
+  if (stage_ms && getenv("NRQ_STRUCT")) {
+    size_t nneed = 0, nexec = 0;
+    for (int k = 0; k < i; k++) nneed += need1[k];
+    for (size_t e = 0; e < nte; e++) nexec += need1[sv->tri_ek[e]];
+    fprintf(stderr, "  s1: need %zu/%d rows, exec %zu/%zu edges\n", nneed, i,
+            nexec, nte);
+  }
+
   // stage 1: z = T^-1 y on the consumed slice (tri edges ascending in k).
   // Source rows are scattered over the z buffer, so prefetch a few edges
   // ahead to hide the cache-miss latency behind the current XOR.
-  for (int k = 0; k < i; k++)
+  for (int k = 0; k < i; k++) {
+    if (k + (int)PF_DIST < i && need1[k + PF_DIST])
+      prefetch_row(ROW(sv->piv_rows[k + PF_DIST]), T);
     if (need1[k]) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
+  }
   for (size_t e = 0; e < nte; e++) {
-    if (e + PF_DIST < nte) prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
+    if (e + PF_DIST < nte && need1[sv->tri_ek[e + PF_DIST]]) {
+      // both sides miss: the source is scattered over z, and the
+      // read-modify-write destination is a fresh row as often as not
+      prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
+      prefetch_row(Z(sv->tri_ek[e + PF_DIST]), T);
+    }
     if (need1[sv->tri_ek[e]]) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
   }
   ck.mark(1);
@@ -1726,31 +1746,96 @@ void host_repair_block(
   // neighbor).
   acc.resize(T);
   std::vector<uint64_t> par(W64);
+  const int32_t ge_end = gptr[ng];
+  // xu fold strategy: the per-gap parity vectors are DENSE (~u/2 set bits;
+  // B = T^-1 Ut fills in), so folding xu rows directly costs ~ng*u/2 row
+  // XORs — but those reads come from the u*T xu buffer, which is L2-hot.
+  // "Four Russians" grouping (g bits per group, 2^g precomputed subset
+  // rows each) cuts the fold count to ~ngrp per gap, but only pays when
+  // the table ITSELF stays cache-resident: an 8-bit/group table at
+  // u=355/T=1280 is ~15 MB of DRAM-streaming reads, measured SLOWER than
+  // the hot popcount fold under multi-block thread contention.  So pick
+  // the group size by modeled row-ops among the variants whose table fits
+  // the per-thread budget, popcount fold included as g=0.
+  const size_t m4r_budget =
+      getenv("NRQ_M4R_BUDGET") ? strtoull(getenv("NRQ_M4R_BUDGET"), nullptr, 10)
+                               : (size_t)2 << 20;
+  int g_bits = 0;
+  if (u >= 16 && ng > 0) {
+    double best_ops = (double)ng * u * 0.5;  // g=0: expected popcount folds
+    for (int g = 2; g <= 8; g <<= 1) {  // g must divide 64: no group may
+                                        // straddle a par word boundary
+      const int ngrp_g = (u + g - 1) / g;
+      if ((size_t)ngrp_g * ((size_t)1 << g) * T > m4r_budget) continue;
+      const double ops =
+          (double)ngrp_g * (1 << g) + (double)ng * ngrp_g * (1.0 - 1.0 / (1 << g));
+      if (ops < best_ops) best_ops = ops, g_bits = g;
+    }
+  }
+  const int ngrp = g_bits ? (u + g_bits - 1) / g_bits : 0;
+  if (g_bits) {
+    const size_t ent = (size_t)1 << g_bits;
+    m4r.resize((size_t)ngrp * ent * T);
+    for (int grp = 0; grp < ngrp; grp++) {
+      uint8_t* tb = m4r.data() + (size_t)grp * ent * T;
+      memset(tb, 0, T);
+      const int base = grp * g_bits, lim = std::min(g_bits, u - base);
+      for (int m = 1; m < (1 << lim); m++) {
+        uint8_t* dst = tb + (size_t)m * T;
+        memcpy(dst, tb + (size_t)(m & (m - 1)) * T, T);
+        rxor(dst, XU(base + __builtin_ctz(m)), T);
+      }
+    }
+  }
+  const uint64_t g_mask = g_bits ? (((uint64_t)1 << g_bits) - 1) : 0;
+  size_t nfold = 0, nzread = 0;
   for (int g = 0; g < ng; g++) {
     uint8_t* o = acc.data();
     memset(o, 0, T);
     for (int w = 0; w < W64; w++) par[w] = 0;
     for (int32_t e = gptr[g]; e < gptr[g + 1]; e++) {
+      // flat-distance prefetch across the whole gap edge stream (a
+      // per-gap burst floods the load queue; a fixed edge distance
+      // keeps exactly PF_DIST rows in flight)
+      if (e + (int32_t)PF_DIST < ge_end) {
+        int pn = pivpos[gcols[e + PF_DIST]];
+        if (pn >= 0) prefetch_row(Z(pn), T);
+      }
       int c = gcols[e];
       int p = pivpos[c];
       if (p >= 0) {
         rxor(o, Z(p), T);
+        nzread++;
         const uint64_t* bp = BB(p);
         for (int w = 0; w < W64; w++) par[w] ^= bp[w];
       } else {
         par[ucolof[c] >> 6] ^= 1ull << (ucolof[c] & 63);
       }
     }
-    for (int w = 0; w < W64; w++) {
-      uint64_t m = par[w];
-      while (m) {
-        int j = (w << 6) + __builtin_ctzll(m);
-        m &= m - 1;
-        rxor(o, XU(j), T);
+    if (g_bits) {
+      for (int grp = 0; grp < ngrp; grp++) {  // grp == par bits [grp*g, +g)
+        const int bit = grp * g_bits;
+        uint64_t b = (par[bit >> 6] >> (bit & 63)) & g_mask;  // g divides 64
+        if (b) {
+          rxor(o, m4r.data() + (((size_t)grp << g_bits) + b) * T, T);
+          nfold++;
+        }
+      }
+    } else {
+      for (int w = 0; w < W64; w++) {
+        uint64_t m = par[w];
+        while (m) {
+          int j = (w << 6) + __builtin_ctzll(m);
+          m &= m - 1;
+          rxor(o, XU(j), T);
+          nfold++;
+        }
       }
     }
     memcpy((uint8_t*)(uintptr_t)outpp[g], o, T);
   }
+  if (stage_ms && getenv("NRQ_STRUCT"))
+    fprintf(stderr, "  s5: ng=%d zreads=%zu xu_folds=%zu\n", ng, nzread, nfold);
   ck.mark(5);
   *status = 0;
   nrq_free(h);
@@ -1784,7 +1869,7 @@ void nrq_host_repair(
   const bool timing = getenv("NRQ_TIMING") != nullptr;
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu, acc, need1;
+    std::vector<uint8_t> z, rhs, xu, acc, m4r, need1;
     std::vector<uint64_t> bbits;
     std::vector<int32_t> pivpos(L), ucolof(L);
     std::vector<uint64_t> outrp;
@@ -1797,7 +1882,7 @@ void nrq_host_repair(
           row_ptr_all + rp_off[b], row_cols_all + rc_off[b], hdpc,
           rowp_all + dp_off[b], ngaps[b], gap_ptr_all + gp_off[b],
           gap_cols_all + gc_off[b], outrp.data(),
-          statuses + b, z, rhs, xu, acc, pivpos, ucolof, need1, bbits,
+          statuses + b, z, rhs, xu, acc, m4r, pivpos, ucolof, need1, bbits,
           (timing && b0 == 0) ? stage_ms : nullptr);
     }
   };
@@ -1916,7 +2001,7 @@ void nrq_host_repair2(
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   const LtParams lp{(uint32_t)W, (uint32_t)P1, (uint32_t)Pv, (uint32_t)J};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu, acc, need1;
+    std::vector<uint8_t> z, rhs, xu, acc, m4r, need1;
     std::vector<uint64_t> bbits;
     std::vector<int32_t> pivpos(L), ucolof(L);
     std::vector<int32_t> rptr, rcols, gptr, gcols;
@@ -1963,7 +2048,7 @@ void nrq_host_repair2(
       host_repair_block(L, W, S, H, T, NB, rptr.data(), rcols.data(), hdpc,
                         rowp_all + dp_off[b], ng, gptr.data(), gcols.data(),
                         out_rowp_all + op_off[b], statuses + b, z, rhs,
-                        xu, acc, pivpos, ucolof, need1, bbits,
+                        xu, acc, m4r, pivpos, ucolof, need1, bbits,
                         (timing && b0 == 0) ? stage_ms : nullptr);
     }
   };
