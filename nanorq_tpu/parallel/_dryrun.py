@@ -34,7 +34,7 @@ def _force_cpu_env(n_devices: int) -> dict:
     return env
 
 
-def run(n_devices: int) -> None:
+def run(n_devices: int, mode: str = "full") -> None:
     """Build + run the sharded codec step on an n-device mesh; assert bit-exact."""
     import jax
 
@@ -56,6 +56,17 @@ def run(n_devices: int) -> None:
     from nanorq_tpu.codec.cache import decoder_schedule
 
     mesh = make_mesh(devs[:n_devices])
+
+    rng_s = np.random.default_rng(3)
+    if mode == "structured":
+        # spawned with NANORQ_WPATH_MAX_KP=0: every pattern takes the
+        # STRUCTURED replay plan, launched per block under the mesh — the
+        # large-K' decode shape, validated here at toy size
+        kinds = _public_roundtrip(
+            mesh, rng_s, n_devices, Zb=n_devices, label="structured plans"
+        )
+        assert kinds == {"structured"}, f"expected structured plans, got {kinds}"
+        return
 
     K, T, per_dev = 100, 128, 2
     blocks = n_devices * per_dev
@@ -134,32 +145,82 @@ def run(n_devices: int) -> None:
     # Decoder whose repair_all(mesh=...) shards the stacked per-block W
     # batches — one device dispatch repairing n_devices blocks, each with a
     # DISTINCT loss pattern.
+    _public_roundtrip(mesh, rng, n_devices, Zb=n_devices, label="public API")
+
+    # --- breadth gates: shapes production meets that the happy path above
+    # does not cover.
+    # (a) uneven blocks: Z not a multiple of the device count — the stacked
+    #     W batch pads to a mesh-size multiple (codec/api.py nb_pad).
+    _public_roundtrip(
+        mesh, rng, n_devices, Zb=n_devices + 3, label=f"uneven Z={n_devices + 3}"
+    )
+    # (b) N>1 sub-block interleaving (the reference designs but disables
+    #     this, lib/nanorq.c:78; we support it end to end) over the mesh.
+    _public_roundtrip(mesh, rng, n_devices, Zb=n_devices, N=4, label="N=4 sub-blocks")
+    # (c) mixed decode plans in ONE mesh repair_all: per-block overhead
+    #     alternates above/below H, so the adaptive planner emits both
+    #     binary-W (GF(2) stacked matmul) and HDPC GF(256)-W plans, stacked
+    #     and sharded separately (codec/api.py pend key).
+    kinds = _public_roundtrip(
+        mesh, rng, n_devices, Zb=n_devices, ov_mode="mixed", label="mixed W plans"
+    )
+    assert kinds == {"W-gf2", "W-gf256"}, f"expected mixed plan kinds, got {kinds}"
+
+
+def _public_roundtrip(mesh, rng, n_devices, Zb, N=1, ov_mode=None, label=""):
+    """Encoder.encode_batch(mesh=) -> Decoder.repair_all(mesh=) round trip
+    with a distinct loss pattern per block; returns the set of decode plan
+    kinds the adaptive planner chose."""
+    import numpy as np
+
+    from nanorq_tpu.codec import cache as _cache
     from nanorq_tpu.codec.api import Decoder, Encoder
     from nanorq_tpu.codec.oti import make_tag
     from nanorq_tpu.io.ioctx import MemoryIO
+    from nanorq_tpu.precode.device_schedule import DeviceSchedule
 
-    Kb, Tb, Zb = 64, 96, n_devices
+    Kb, Tb = 64, 96
     data = rng.integers(0, 256, Kb * Tb * Zb, dtype=np.uint8)
-    enc = Encoder(data.size, Tb, Al=1, Z=Zb)
+    enc = Encoder(data.size, Tb, Al=1, Z=Zb, N=N)
+    assert enc.scheme.N == N
     src = MemoryIO(data)
     dec = Decoder(enc.oti_common(), enc.oti_scheme_specific())
     out = np.zeros(data.size, np.uint8)
     io = MemoryIO(out)
-    payloads = data.reshape(Zb * Kb, Tb)
+    H = enc.P.H
     for sbn in range(Zb):
         g = np.sort(rng.choice(Kb, size=3 + (sbn % 3), replace=False))
         keep = np.setdiff1d(np.arange(Kb), g)
-        rep_esis = np.arange(Kb, Kb + g.size + 2)
+        # mixed mode: even blocks get >= H overhead (binary factorization ->
+        # GF(2) W), odd blocks get 1 (HDPC pivots -> GF(256) W)
+        ov = (H + 4 if sbn % 2 == 0 else 1) if ov_mode == "mixed" else 2
+        rep_esis = np.arange(Kb, Kb + g.size + ov)
         rep_pl = enc.encode_batch(sbn, rep_esis, src, mesh=mesh)
-        dec.add_symbols(payloads[sbn * Kb + keep], [make_tag(sbn, int(e)) for e in keep], io)
+        # source payloads via the encoder's own reader: exact for N>1, where
+        # symbol bytes interleave across sub-blocks (get_symbol_offset math)
+        srcs = np.stack([enc._read_symbol(src, sbn, int(e), Kb) for e in keep])
+        dec.add_symbols(srcs, [make_tag(sbn, int(e)) for e in keep], io)
         dec.add_symbols(rep_pl, [make_tag(sbn, int(e)) for e in rep_esis], io)
-    assert dec.repair_all(io, mesh=mesh), "mesh-sharded repair_all failed"
-    assert np.array_equal(out, data), "public-API mesh round trip lost bit-exactness"
+    # record which plan kinds the adaptive planner picks for these patterns
+    kinds = set()
+    for sbn in range(Zb):
+        prep = dec._repair_prepare(sbn)
+        if isinstance(prep, bool):
+            continue
+        plan = _cache.decoder_plan(dec.P, prep[1], prep[2])
+        assert plan is not None, f"rank-deficient plan in dryrun block {sbn}"
+        if isinstance(plan, DeviceSchedule):
+            kinds.add("structured")
+        else:
+            kinds.add("W-gf2" if plan.Wbits is not None else "W-gf256")
+    assert dec.repair_all(io, mesh=mesh), f"mesh repair_all failed [{label}]"
+    assert np.array_equal(out, data), f"mesh round trip lost bit-exactness [{label}]"
     print(
-        f"dryrun_multichip({n_devices}): public API OK — Encoder.encode_batch(mesh=) "
-        f"+ Decoder.repair_all(mesh=) round-tripped {Zb} blocks with distinct "
-        f"loss patterns bit-exact"
+        f"dryrun_multichip({n_devices}): {label} OK — {Zb} blocks, distinct loss "
+        f"patterns, plans {sorted(kinds)}, bit-exact through "
+        f"encode_batch(mesh=) + repair_all(mesh=)"
     )
+    return kinds
 
 
 def spawn(n_devices: int) -> None:
@@ -169,20 +230,26 @@ def spawn(n_devices: int) -> None:
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env = _force_cpu_env(n_devices)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run(
-        [sys.executable, "-m", "nanorq_tpu.parallel._dryrun", str(n_devices)],
-        env=env,
-        cwd=repo_root,
-        capture_output=True,
-        text=True,
-        timeout=1200,
-    )
-    sys.stdout.write(proc.stdout)
-    sys.stderr.write(proc.stderr)
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"dryrun_multichip subprocess failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+    # second pass: NANORQ_WPATH_MAX_KP=0 (snapshot at import) forces every
+    # decode pattern onto the STRUCTURED plan, exercising per-block replay
+    # launches under the mesh — the large-K' production shape
+    env_structured = dict(env, NANORQ_WPATH_MAX_KP="0", NANORQ_WPATH_GF256_MAX_KP="0")
+    for mode, e in (("full", env), ("structured", env_structured)):
+        proc = subprocess.run(
+            [sys.executable, "-m", "nanorq_tpu.parallel._dryrun", str(n_devices), mode],
+            env=e,
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=1200,
         )
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"dryrun_multichip subprocess failed (rc={proc.returncode}, "
+                f"mode={mode}):\n{proc.stderr[-2000:]}"
+            )
 
 
 if __name__ == "__main__":
@@ -191,4 +258,4 @@ if __name__ == "__main__":
     if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
         os.environ.update(_force_cpu_env(n))
     os.environ["JAX_PLATFORMS"] = "cpu"
-    run(n)
+    run(n, sys.argv[2] if len(sys.argv) > 2 else "full")
