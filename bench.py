@@ -535,7 +535,7 @@ def main():
     # device liveness gate: bounded subprocess retries with backoff; on
     # persistent failure emit a DEGRADED host-arm partial capture (never
     # again rc 3 with zero evidence — round-4 failure mode)
-    if not probe_device(float(os.environ.get("NANORQ_BENCH_PROBE_TIMEOUT", 240))):
+    if not probe_device(float(os.environ.get("NANORQ_BENCH_PROBE_TIMEOUT", 420))):
         log("device unreachable after retries — falling back to host-arm capture")
         run_degraded(args, ks)
         return
