@@ -1555,9 +1555,17 @@ namespace {
 // L3/DRAM miss at this distance).
 constexpr size_t PF_DIST = 6;
 
+// Prefetch only the HEAD of the row: the hardware stream prefetcher picks
+// up the sequential tail once the first lines are touched, and issuing all
+// T/64 (=20 at T=1280) prefetches per row measurably LOSES — standalone
+// substitution microbench (scattered ascending-k XOR stream, this host):
+// full-row 63.5 ms vs head-4 44.1 ms vs none 47.8 ms at I=50000 rows.
+constexpr int PF_HEAD_LINES = 4;
+
 inline void prefetch_row(const uint8_t* p, int n) {
 #if defined(__SSE__) || defined(__AVX2__)
-  for (int off = 0; off < n; off += 64)
+  int lim = PF_HEAD_LINES * 64 < n ? PF_HEAD_LINES * 64 : n;
+  for (int off = 0; off < lim; off += 64)
     _mm_prefetch((const char*)p + off, _MM_HINT_T0);
 #else
   (void)p;
@@ -1659,22 +1667,32 @@ void host_repair_block(
             nexec, nte);
   }
 
-  // stage 1: z = T^-1 y on the consumed slice (tri edges ascending in k).
-  // Source rows are scattered over the z buffer, so prefetch a few edges
-  // ahead to hide the cache-miss latency behind the current XOR.
-  for (int k = 0; k < i; k++) {
-    if (k + (int)PF_DIST < i && need1[k + PF_DIST])
-      prefetch_row(ROW(sv->piv_rows[k + PF_DIST]), T);
-    if (need1[k]) memcpy(Z(k), ROW(sv->piv_rows[k]), T);
-  }
-  for (size_t e = 0; e < nte; e++) {
-    if (e + PF_DIST < nte && need1[sv->tri_ek[e + PF_DIST]]) {
-      // both sides miss: the source is scattered over z, and the
-      // read-modify-write destination is a fresh row as often as not
-      prefetch_row(Z(sv->tri_ep[e + PF_DIST]), T);
-      prefetch_row(Z(sv->tri_ek[e + PF_DIST]), T);
+  // stage 1: z = T^-1 y on the consumed slice (tri edges ascending in k,
+  // so the edges of one destination row form a contiguous run).  Fuse the
+  // row init into the edge sweep: initialize Z(k) from its payload row and
+  // immediately XOR that run's sources while Z(k) is L1-hot — a separate
+  // init pass writes every z row first and re-faults each one from DRAM
+  // when its edges come around (z is tens of MB at large K').  Sources are
+  // scattered over z, so prefetch a few edges ahead to hide the miss
+  // behind the current XOR.
+  {
+    size_t e = 0;
+    for (int k = 0; k < i; k++) {
+      if (k + (int)PF_DIST < i && need1[k + PF_DIST])
+        prefetch_row(ROW(sv->piv_rows[k + PF_DIST]), T);
+      size_t e2 = e;
+      while (e2 < nte && sv->tri_ek[e2] == k) e2++;
+      if (need1[k]) {
+        uint8_t* dst = Z(k);
+        memcpy(dst, ROW(sv->piv_rows[k]), T);
+        for (size_t q = e; q < e2; q++) {
+          if (q + PF_DIST < nte && need1[sv->tri_ek[q + PF_DIST]])
+            prefetch_row(Z(sv->tri_ep[q + PF_DIST]), T);
+          rxor(dst, Z(sv->tri_ep[q]), T);
+        }
+      }
+      e = e2;
     }
-    if (need1[sv->tri_ek[e]]) rxor(Z(sv->tri_ek[e]), Z(sv->tri_ep[e]), T);
   }
   ck.mark(1);
 
