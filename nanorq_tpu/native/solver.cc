@@ -20,6 +20,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <new>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -28,6 +29,7 @@
 
 #if defined(__AVX2__) || defined(__SSSE3__)
 #include <immintrin.h>
+#include <sys/mman.h>
 #endif
 
 namespace {
@@ -1573,6 +1575,42 @@ inline void prefetch_row(const uint8_t* p, int n) {
 #endif
 }
 
+// Huge-page-backed grow-only scratch for the per-thread z buffer.  Stage 1
+// reads rows SCATTERED over tens of MB; on 4 KB pages every row fetch is
+// also a TLB miss (the buffer spans ~16k pages at K'=50000), which the
+// head-line prefetch cannot hide.  2 MB pages cover the whole buffer with
+// ~32 TLB entries — microbench of the fused sweep at I=50000: 41.2 ms on
+// malloc'd 4 KB pages vs 27.8 ms under MADV_HUGEPAGE (THP is
+// madvise-only on this host).  Contents are NOT preserved across resize
+// (stage 1 fully rewrites z per block).
+struct HugeBuf {
+  uint8_t* p = nullptr;
+  size_t cap = 0;
+  HugeBuf() = default;
+  HugeBuf(const HugeBuf&) = delete;
+  HugeBuf& operator=(const HugeBuf&) = delete;
+  ~HugeBuf() {
+    if (p) munmap(p, cap);
+  }
+  uint8_t* data() { return p; }
+  void resize(size_t n) {
+    if (n <= cap) return;
+    if (p) munmap(p, cap);
+    const size_t huge = (size_t)2 << 20;
+    size_t r = (n + huge - 1) & ~(huge - 1);
+    void* m = mmap(nullptr, r, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (m == MAP_FAILED) {
+      p = nullptr;
+      cap = 0;
+      throw std::bad_alloc();
+    }
+    p = (uint8_t*)m;
+    cap = r;
+    if (r >= huge) madvise(p, r, MADV_HUGEPAGE);
+  }
+};
+
 struct StageClk {
   double* acc;  // [6] ms accumulators (solve, s1, s2, s3, s4, s5) or null
   struct timespec t0;
@@ -1596,7 +1634,7 @@ void host_repair_block(
     const int32_t* row_ptr, const int32_t* row_cols, const uint8_t* hdpc,
     const uint64_t* rowp, int ng, const int32_t* gptr, const int32_t* gcols,
     const uint64_t* outpp, int32_t* status,
-    std::vector<uint8_t>& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
+    HugeBuf& z, std::vector<uint8_t>& rhs, std::vector<uint8_t>& xu,
     std::vector<uint8_t>& acc, std::vector<uint8_t>& m4r,
     std::vector<int32_t>& pivpos, std::vector<int32_t>& ucolof,
     std::vector<uint8_t>& need1, std::vector<uint64_t>& bbits,
@@ -1887,7 +1925,8 @@ void nrq_host_repair(
   const bool timing = getenv("NRQ_TIMING") != nullptr;
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu, acc, m4r, need1;
+    HugeBuf z;
+    std::vector<uint8_t> rhs, xu, acc, m4r, need1;
     std::vector<uint64_t> bbits;
     std::vector<int32_t> pivpos(L), ucolof(L);
     std::vector<uint64_t> outrp;
@@ -2019,7 +2058,8 @@ void nrq_host_repair2(
   double stage_ms[6] = {0, 0, 0, 0, 0, 0};
   const LtParams lp{(uint32_t)W, (uint32_t)P1, (uint32_t)Pv, (uint32_t)J};
   auto run_range = [&](int b0, int b1) {
-    std::vector<uint8_t> z, rhs, xu, acc, m4r, need1;
+    HugeBuf z;
+    std::vector<uint8_t> rhs, xu, acc, m4r, need1;
     std::vector<uint64_t> bbits;
     std::vector<int32_t> pivpos(L), ucolof(L);
     std::vector<int32_t> rptr, rcols, gptr, gcols;

@@ -57,10 +57,11 @@ CAND_GRID = tuple(sorted(set(
 # power-of-two gather widths only: denser grids (3, 5, 6, ...) fill slots
 # better but measured *slower* per slot in the DMA gather kernel; pow2-wide
 # scratch tiles win end to end (A/B at K=50000: 27.96 vs 28.32 ms full).
-# "hybrid64" keeps pow2 below 64 (where the small-width slowdown was
-# measured) and adds 64-multiples above, where the heavy-row ranges
-# quantize 130-200-degree rows up to 256 — modeled -10% slots at K=50000
-# with identical launch count (tools' grid probe).
+# "hybrid64" (the default) keeps pow2 below 64 (where the small-width
+# slowdown was measured) and adds 64-multiples above, where the heavy-row
+# ranges quantize 130-200-degree rows up to 256 — on-chip A/B at K=50000
+# B=1 (tools/replay_stage_prof.py): slots 546928 -> 494960 (-9.5%), fill
+# 50% -> 56%, trisolve 9.37 -> 7.84 ms, full replay 19.15 -> 18.73 ms.
 _WQ_GRIDS = {
     "dense": (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64,
               80, 96, 128, 160, 192, 256, 320, 384, 512, 768, 1024, 2048, 4096),
@@ -68,7 +69,8 @@ _WQ_GRIDS = {
                  448, 512, 640, 768, 1024, 2048, 4096),
     "pow2": (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096),
 }
-WIDTH_GRID = _WQ_GRIDS.get(os.environ.get("NANORQ_TRI_WQ", "pow2"), _WQ_GRIDS["pow2"])
+WIDTH_GRID = _WQ_GRIDS.get(os.environ.get("NANORQ_TRI_WQ", "hybrid64"),
+                           _WQ_GRIDS["hybrid64"])
 TRI_RANGE_PENALTY = int(os.environ.get("NANORQ_TRI_RP", 768))
 TRI_SEG_PENALTY_CHUNKS = int(os.environ.get("NANORQ_TRI_SP", 8))  # x CB
 TRI_MAX_RANGES = int(os.environ.get("NANORQ_TRI_MR", 6))
